@@ -1,0 +1,401 @@
+"""Batched residual/Jacobian evaluation — the hot path.
+
+TPU-native re-design of the reference's evaluation layer:
+``internal/ceres/program_evaluator.h:118-397`` (threaded residual-block
+fan-out with per-thread scratch), ``residual_block.cc:70-217`` (gather
+states -> CostFunction::Evaluate -> manifold PlusJacobian -> loss Corrector)
+and the Jet forward-mode engine (``include/ceres/jet.h``,
+``internal/autodiff.h:304``).
+
+Design: each residual family is evaluated with one
+``vmap(jacfwd(residual_of_tangent_deltas))`` call —
+
+    r_i(delta) = fn(plus(x_j, delta_j), ...)   differentiated at delta = 0
+
+which fuses the cost-function Jacobian and the manifold PlusJacobian chain
+rule into a single forward-mode pass (what the reference does in two steps at
+residual_block.cc:136-159). The robust-loss Triggs correction
+(corrector.cc) is applied vectorized over the batch. Gradients are
+scatter-adds into the tangent vector (the reference's per-thread gradient
+accumulation + reduction, program_evaluator.h:266-304, becomes one
+segment-sum that XLA lowers efficiently).
+
+The Jacobian is never materialized globally unless a dense solver asks for
+it: it stays as per-family batched dense blocks (B, r, T_j) — the analog of
+BlockSparseMatrix (block_sparse_matrix.h:60-160) laid out for the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ceres_tpu.loss import (
+    corrector_coefficients,
+    correct_jacobian,
+    correct_residuals,
+)
+from ceres_tpu.problem import Family, Program
+
+
+# -- Family as pytree --------------------------------------------------------
+
+
+def _family_flatten(f: Family):
+    children = (f.ambient_idx, f.tangent_idx, f.data, f.loss, f.bd_pos)
+    aux = (f.structure, f.batch)
+    return children, aux
+
+
+def _family_unflatten(aux, children):
+    structure, batch = aux
+    ambient_idx, tangent_idx, data, loss, bd_pos = children
+    return Family(
+        structure=structure,
+        loss=loss,
+        batch=batch,
+        ambient_idx=ambient_idx,
+        tangent_idx=tangent_idx,
+        data=data,
+        residual_ids=None,
+        block_ids=None,
+        bd_pos=bd_pos,
+    )
+
+
+jax.tree_util.register_pytree_node(Family, _family_flatten, _family_unflatten)
+
+
+# -- per-family primitives ----------------------------------------------------
+
+
+def _instance_fn(structure):
+    """Single-instance residual as a function of tangent deltas."""
+    fn = structure.fn
+    manifolds = structure.manifolds
+    has_data = structure.has_data
+
+    def inst(blocks, deltas, data):
+        new_blocks = []
+        for b, d, m in zip(blocks, deltas, manifolds):
+            if m is None:
+                new_blocks.append(b + d)
+            else:
+                new_blocks.append(m.plus(b, d))
+        if has_data:
+            return fn(*new_blocks, data)
+        return fn(*new_blocks)
+
+    return inst
+
+
+def family_residuals(family: Family, x: jax.Array) -> jax.Array:
+    """Raw residuals (B, r)."""
+    st = family.structure
+    blocks = tuple(x[idx] for idx in family.ambient_idx)
+    if st.has_data:
+        return jax.vmap(lambda bs, d: st.fn(*bs, d))(blocks, family.data)
+    return jax.vmap(lambda bs: st.fn(*bs))(blocks)
+
+
+def family_residuals_and_jacobians(
+    family: Family, x: jax.Array
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """Raw residuals (B, r) and tangent jacobians per arg (B, r, T_j).
+
+    One fused vmapped forward-mode pass (replaces Jets + PlusJacobian)."""
+    st = family.structure
+    inst = _instance_fn(st)
+    blocks = tuple(x[idx] for idx in family.ambient_idx)
+    zeros = tuple(
+        jnp.zeros((family.batch, t), dtype=x.dtype) for t in st.tangent_sizes
+    )
+
+    def res_and_jac(bs, ds, data):
+        def f(deltas):
+            out = inst(bs, deltas, data)
+            return out, out
+
+        J, r = jax.jacfwd(f, has_aux=True)(ds)
+        return r, J
+
+    r, jacs = jax.vmap(res_and_jac, in_axes=(0, 0, 0 if st.has_data else None))(
+        blocks, zeros, family.data
+    )
+    return r, jacs
+
+
+def _apply_loss(family: Family, r: jax.Array, jacs):
+    """Triggs-correct residuals and jacobians; return (cost, r_c, jacs_c).
+
+    Mirrors residual_block.cc:160-196 + corrector.cc. With no loss,
+    cost = 0.5 ||r||^2 and arrays pass through.
+    """
+    sq_norm = jnp.sum(r * r, axis=-1)
+    if family.loss is None:
+        cost = 0.5 * jnp.sum(sq_norm)
+        return cost, r, jacs
+    rho0, rho1, rho2 = family.loss.evaluate(sq_norm)
+    cost = 0.5 * jnp.sum(rho0)
+    scale, alpha_sq_norm = corrector_coefficients(sq_norm, rho1, rho2)
+    sqrt_rho1 = jnp.sqrt(rho1)
+    if jacs is not None:
+        jacs = tuple(
+            correct_jacobian(J, r, sqrt_rho1, alpha_sq_norm) for J in jacs
+        )
+    r_c = correct_residuals(r, scale)
+    return cost, r_c, jacs
+
+
+# -- Jacobian context ---------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class JacobianContext:
+    """The problem Jacobian as batched per-family blocks.
+
+    TPU analog of BlockSparseMatrix (block_sparse_matrix.h:60): values are
+    per-family (B, r, T_j) dense tensors; structure is the family index
+    maps. All linear-solver access is matrix-free through these tensors.
+
+    ``residuals`` are the loss-corrected residuals per family (B, r).
+    """
+
+    families: List[Family]
+    jacs: Tuple[Tuple[jax.Array, ...], ...]
+    residuals: Tuple[jax.Array, ...]
+    num_tangent: int
+
+    def tree_flatten(self):
+        return (self.families, self.jacs, self.residuals), (self.num_tangent,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        families, jacs, residuals = children
+        return cls(families, jacs, residuals, aux[0])
+
+    # -- core products (all pure) ------------------------------------------
+
+    def _gather_tangent(self, v_pad: jax.Array, fi: int, j: int) -> jax.Array:
+        return v_pad[self.families[fi].tangent_idx[j]]
+
+    def matvec(self, v: jax.Array) -> Tuple[jax.Array, ...]:
+        """J v -> per-family residual-space blocks (B, r).
+
+        Analog of BlockSparseMatrix::RightMultiplyAndAccumulate
+        (block_sparse_matrix.cc:239).
+        """
+        v_pad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        out = []
+        for fi, fam in enumerate(self.families):
+            acc = jnp.zeros((fam.batch, fam.residual_size), dtype=v.dtype)
+            for j in range(fam.num_args):
+                vj = v_pad[fam.tangent_idx[j]]  # (B, T_j)
+                acc = acc + jnp.einsum(
+                    "brt,bt->br", self.jacs[fi][j], vj
+                )
+            out.append(acc)
+        return tuple(out)
+
+    def rmatvec(self, w: Sequence[jax.Array]) -> jax.Array:
+        """J^T w for per-family residual-space blocks -> tangent vector.
+
+        Analog of LeftMultiplyAndAccumulate; the per-thread accumulation +
+        locks of the reference become one scatter-add.
+        """
+        g = jnp.zeros((self.num_tangent,), dtype=w[0].dtype)
+        for fi, fam in enumerate(self.families):
+            for j in range(fam.num_args):
+                contrib = jnp.einsum("brt,br->bt", self.jacs[fi][j], w[fi])
+                g = g.at[fam.tangent_idx[j]].add(contrib, mode="drop")
+        return g
+
+    def normal_matvec(self, v: jax.Array) -> jax.Array:
+        """J^T J v in one pass (the CGNR/implicit-Schur hot op)."""
+        return self.rmatvec(self.matvec(v))
+
+    def gradient(self) -> jax.Array:
+        """g = J^T r (with corrected arrays this equals rho' J^T r)."""
+        return self.rmatvec(self.residuals)
+
+    def squared_column_norms(self) -> jax.Array:
+        """diag(J^T J) (BlockSparseMatrix::SquaredColumnNorm)."""
+        d = jnp.zeros((self.num_tangent,), dtype=jnp.float64)
+        for fi, fam in enumerate(self.families):
+            for j in range(fam.num_args):
+                contrib = jnp.sum(self.jacs[fi][j] ** 2, axis=1)  # (B, T_j)
+                d = d.at[fam.tangent_idx[j]].add(contrib, mode="drop")
+        return d
+
+    def scale_columns(self, scale: jax.Array) -> "JacobianContext":
+        """Return a context with columns scaled (ScaleColumns,
+        block_sparse_matrix.cc; used for Jacobi scaling,
+        trust_region_minimizer.cc:263-279)."""
+        s_pad = jnp.concatenate([scale, jnp.ones((1,), scale.dtype)])
+        new_jacs = []
+        for fi, fam in enumerate(self.families):
+            js = []
+            for j in range(fam.num_args):
+                sj = s_pad[fam.tangent_idx[j]]  # (B, T_j)
+                js.append(self.jacs[fi][j] * sj[:, None, :])
+            new_jacs.append(tuple(js))
+        return JacobianContext(
+            self.families, tuple(new_jacs), self.residuals, self.num_tangent
+        )
+
+    def block_jtj(self, group_sizes) -> dict:
+        """Block diagonal of J^T J grouped by tangent size.
+
+        Analog of BlockJacobiPreconditioner's block diagonal assembly
+        (block_jacobi_preconditioner.h:55) and InnerProductComputer restricted
+        to diagonal blocks: returns {T: (G_T, T, T)} batched SPD matrices,
+        built with one einsum + segment scatter per family arg.
+        ``group_sizes`` is {tangent_size: num_blocks} (Program.bd_groups).
+        """
+        out = {
+            T: jnp.zeros((G, T, T), dtype=jnp.float64)
+            for T, G in group_sizes.items()
+        }
+        for fi, fam in enumerate(self.families):
+            for j in range(fam.num_args):
+                T = fam.structure.tangent_sizes[j]
+                if T not in out:
+                    continue
+                Jj = self.jacs[fi][j]
+                contrib = jnp.einsum("bri,brj->bij", Jj, Jj)
+                out[T] = out[T].at[fam.bd_pos[j]].add(contrib, mode="drop")
+        return out
+
+    def residual_vector(self) -> jax.Array:
+        """Flat corrected residual vector (M,)."""
+        return jnp.concatenate([r.reshape(-1) for r in self.residuals])
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.batch * f.residual_size for f in self.families)
+
+    def to_dense(self) -> jax.Array:
+        """Materialize the dense Jacobian (M, num_tangent) — dense solvers
+        and covariance only (dense_jacobian_writer.h analog)."""
+        M = self.num_rows
+        dense = jnp.zeros((M, self.num_tangent), dtype=jnp.float64)
+        row = 0
+        for fi, fam in enumerate(self.families):
+            B, r = fam.batch, fam.residual_size
+            rows = row + jnp.arange(B * r, dtype=jnp.int32).reshape(B, r)
+            for j in range(fam.num_args):
+                dense = dense.at[rows[:, :, None], fam.tangent_idx[j][:, None, :]].add(
+                    self.jacs[fi][j], mode="drop"
+                )
+            row += B * r
+        return dense
+
+
+@dataclasses.dataclass
+class FullEval:
+    cost: jax.Array
+    gradient: jax.Array
+    jacobian_context: JacobianContext
+
+
+class Evaluator:
+    """Jitted evaluation entry points over a frozen Program.
+
+    Analog of Evaluator (evaluator.h) + ProgramEvaluator
+    (program_evaluator.h:118): `cost`, `residuals`, and
+    `cost_gradient_jacobian` are each one XLA computation.
+    """
+
+    def __init__(self, program: Program, apply_loss_function: bool = True):
+        self.program = program
+        self.apply_loss = apply_loss_function
+        self._families = program.families
+        self._num_tangent = program.num_tangent
+
+        @jax.jit
+        def _cost(x, families):
+            total = jnp.asarray(0.0, dtype=jnp.float64)
+            for fam in families:
+                r = family_residuals(fam, x)
+                if self.apply_loss and fam.loss is not None:
+                    rho0, _, _ = fam.loss.evaluate(jnp.sum(r * r, axis=-1))
+                    total = total + 0.5 * jnp.sum(rho0)
+                else:
+                    total = total + 0.5 * jnp.sum(r * r)
+            return total
+
+        @jax.jit
+        def _residuals(x, families):
+            outs = []
+            for fam in families:
+                r = family_residuals(fam, x)
+                if self.apply_loss and fam.loss is not None:
+                    sq = jnp.sum(r * r, axis=-1)
+                    _, rho1, rho2 = fam.loss.evaluate(sq)
+                    scale, _ = corrector_coefficients(sq, rho1, rho2)
+                    r = correct_residuals(r, scale)
+                outs.append(r.reshape(-1))
+            return jnp.concatenate(outs) if outs else jnp.zeros((0,))
+
+        @jax.jit
+        def _full(x, families):
+            cost = jnp.asarray(0.0, dtype=jnp.float64)
+            all_jacs = []
+            all_res = []
+            for fam in families:
+                r, jacs = family_residuals_and_jacobians(fam, x)
+                if self.apply_loss:
+                    c, r, jacs = _apply_loss(fam, r, jacs)
+                else:
+                    c = 0.5 * jnp.sum(r * r)
+                cost = cost + c
+                all_jacs.append(tuple(jacs))
+                all_res.append(r)
+            ctx = JacobianContext(
+                families, tuple(all_jacs), tuple(all_res), self._num_tangent
+            )
+            grad = ctx.gradient()
+            return cost, grad, ctx
+
+        plus = program.plus
+
+        @jax.jit
+        def _cost_grad(x, families):
+            # Reverse-mode gradient in the tangent space: differentiate
+            # cost(plus(x, delta)) at delta = 0. Equivalent to rho' J^T r
+            # (the reference assembles this from block jacobians,
+            # program_evaluator.h:266-284) but here it is one VJP pass with
+            # no Jacobian materialization — the right trade for LBFGS/CG
+            # line-search minimizers.
+            def cost_of_delta(delta):
+                return _cost(plus(x, delta), families)
+
+            zero = jnp.zeros((self._num_tangent,), dtype=x.dtype)
+            return jax.value_and_grad(cost_of_delta)(zero)
+
+        self._cost_fn = _cost
+        self._residuals_fn = _residuals
+        self._full_fn = _full
+        self._cost_grad_fn = _cost_grad
+
+    def cost(self, x: jax.Array) -> jax.Array:
+        return self._cost_fn(x, self._families)
+
+    def residuals(self, x: jax.Array) -> jax.Array:
+        return self._residuals_fn(x, self._families)
+
+    def cost_and_gradient(self, x: jax.Array):
+        """(cost, tangent gradient) without forming the Jacobian."""
+        return self._cost_grad_fn(x, self._families)
+
+    def cost_gradient_jacobian(self, x: jax.Array) -> FullEval:
+        cost, grad, ctx = self._full_fn(x, self._families)
+        return FullEval(cost=cost, gradient=grad, jacobian_context=ctx)
+
+    def plus(self, x: jax.Array, delta: jax.Array) -> jax.Array:
+        return self.program.plus(x, delta)

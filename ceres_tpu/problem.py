@@ -1,0 +1,663 @@
+"""Problem construction: parameter blocks + residual families.
+
+TPU-native re-design of the reference's modeling layer
+(``include/ceres/problem.h:70-553``, ``internal/ceres/problem_impl.{h,cc}``,
+``program.{h,cc}``, ``parameter_block.h``, ``residual_block.h``).
+
+Instead of a mutable pointer graph of ParameterBlock*/ResidualBlock* with
+virtual CostFunction dispatch, residual blocks are grouped into **residual
+families**: all blocks sharing the same (residual function, parameter block
+sizes, manifolds, loss structure) are stacked along a batch axis and
+evaluated with one ``vmap``/``jacfwd`` call. Parameters live in one flat
+ambient vector; per-family int32 gather/scatter index matrices connect block
+instances to it. This is the static-shape, gather/scatter formulation XLA
+needs to put the work on the MXU/VPU instead of chasing pointers.
+
+The reference's Program::CreateReducedProgram (program.cc:291-415) drops
+constant/unused blocks; here constant blocks simply map to a dummy tangent
+slot that is discarded after scatter-adds, so the evaluation stays one fused
+kernel with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_tpu.loss import LossFunction, TrivialLoss
+from ceres_tpu.manifold import EuclideanManifold, Manifold
+
+
+@dataclasses.dataclass
+class _ParameterBlockRec:
+    """Host-side record (analog of parameter_block.h:65)."""
+
+    pid: int
+    values: np.ndarray  # current ambient values, shape (size,)
+    manifold: Optional[Manifold]
+    constant: bool = False
+    lower: Optional[np.ndarray] = None  # lazily allocated bound arrays
+    upper: Optional[np.ndarray] = None
+    removed: bool = False
+
+    @property
+    def size(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def tangent_size(self) -> int:
+        if self.manifold is not None:
+            return self.manifold.tangent_size
+        return self.size
+
+
+@dataclasses.dataclass
+class _ResidualBlockRec:
+    """Host-side record (analog of residual_block.h:69)."""
+
+    rid: int
+    fn: Callable
+    loss: Optional[LossFunction]
+    param_ids: Tuple[int, ...]
+    data: Any  # per-instance pytree (leaves without batch axis)
+    removed: bool = False
+
+
+def _loss_structure(loss: Optional[LossFunction]):
+    """Losses with identical pytree structure can share a family."""
+    if loss is None:
+        return None
+    return jax.tree_util.tree_structure(loss)
+
+
+class Problem:
+    """Nonlinear least-squares problem: min 0.5 sum_i rho_i(||r_i||^2).
+
+    Analog of ceres::Problem (problem.h:70-553), with both block-at-a-time
+    and batched construction. Batched construction
+    (:meth:`add_parameter_blocks`, :meth:`add_residual_blocks`) is the
+    TPU-native fast path — one call creates a whole residual family.
+    """
+
+    def __init__(self):
+        self._param_blocks: List[_ParameterBlockRec] = []
+        self._residual_blocks: List[_ResidualBlockRec] = []
+        self._program_cache = None
+
+    # -- parameter blocks ---------------------------------------------------
+
+    def add_parameter_block(
+        self,
+        values: np.ndarray,
+        manifold: Optional[Manifold] = None,
+        constant: bool = False,
+    ) -> int:
+        """Add one parameter block; returns its id (problem.h:258-270)."""
+        values = np.atleast_1d(np.asarray(values, dtype=np.float64)).copy()
+        if values.ndim != 1:
+            raise ValueError("parameter block must be a vector")
+        if manifold is not None and manifold.ambient_size != values.shape[0]:
+            raise ValueError(
+                f"manifold ambient size {manifold.ambient_size} != "
+                f"block size {values.shape[0]}"
+            )
+        pid = len(self._param_blocks)
+        self._param_blocks.append(
+            _ParameterBlockRec(pid, values, manifold, constant=constant)
+        )
+        self._dirty()
+        return pid
+
+    def add_parameter_blocks(
+        self,
+        values: np.ndarray,
+        manifold: Optional[Manifold] = None,
+        constant: bool = False,
+    ) -> np.ndarray:
+        """Batched: values (B, size) -> array of B block ids."""
+        values = np.asarray(values, dtype=np.float64)
+        if values.ndim != 2:
+            raise ValueError("expected (num_blocks, block_size)")
+        ids = np.empty(values.shape[0], dtype=np.int64)
+        base = len(self._param_blocks)
+        for i in range(values.shape[0]):
+            self._param_blocks.append(
+                _ParameterBlockRec(base + i, values[i].copy(), manifold, constant)
+            )
+            ids[i] = base + i
+        self._dirty()
+        return ids
+
+    def _pb(self, pid: int) -> _ParameterBlockRec:
+        rec = self._param_blocks[pid]
+        if rec.removed:
+            raise KeyError(f"parameter block {pid} was removed")
+        return rec
+
+    def set_parameter_block_constant(self, pid) -> None:
+        for p in np.atleast_1d(pid):
+            self._pb(int(p)).constant = True
+        self._dirty()
+
+    def set_parameter_block_variable(self, pid) -> None:
+        for p in np.atleast_1d(pid):
+            self._pb(int(p)).constant = False
+        self._dirty()
+
+    def is_parameter_block_constant(self, pid: int) -> bool:
+        return self._pb(pid).constant
+
+    def set_manifold(self, pid: int, manifold: Optional[Manifold]) -> None:
+        rec = self._pb(pid)
+        if manifold is not None and manifold.ambient_size != rec.size:
+            raise ValueError("manifold ambient size mismatch")
+        rec.manifold = manifold
+        self._dirty()
+
+    def get_manifold(self, pid: int) -> Optional[Manifold]:
+        return self._pb(pid).manifold
+
+    def set_parameter_lower_bound(self, pid: int, index: int, value: float) -> None:
+        """problem.h:333-341."""
+        rec = self._pb(pid)
+        if rec.lower is None:
+            rec.lower = np.full(rec.size, -np.inf)
+        rec.lower[index] = value
+        self._dirty()
+
+    def set_parameter_upper_bound(self, pid: int, index: int, value: float) -> None:
+        rec = self._pb(pid)
+        if rec.upper is None:
+            rec.upper = np.full(rec.size, np.inf)
+        rec.upper[index] = value
+        self._dirty()
+
+    def get_parameter_lower_bound(self, pid: int, index: int) -> float:
+        rec = self._pb(pid)
+        return float(rec.lower[index]) if rec.lower is not None else -np.inf
+
+    def get_parameter_upper_bound(self, pid: int, index: int) -> float:
+        rec = self._pb(pid)
+        return float(rec.upper[index]) if rec.upper is not None else np.inf
+
+    def parameter_block_value(self, pid: int) -> np.ndarray:
+        return self._pb(pid).values.copy()
+
+    def set_parameter_block_value(self, pid: int, values: np.ndarray) -> None:
+        rec = self._pb(pid)
+        values = np.asarray(values, dtype=np.float64)
+        if values.shape != rec.values.shape:
+            raise ValueError("shape mismatch")
+        rec.values[:] = values
+        self._dirty()
+
+    def remove_parameter_block(self, pid: int) -> None:
+        """problem.h:291-305: also removes residual blocks that use it."""
+        rec = self._pb(pid)
+        rec.removed = True
+        for rb in self._residual_blocks:
+            if not rb.removed and pid in rb.param_ids:
+                rb.removed = True
+        self._dirty()
+
+    # -- residual blocks ----------------------------------------------------
+
+    def add_residual_block(
+        self,
+        fn: Callable,
+        loss: Optional[LossFunction],
+        param_ids: Sequence[int],
+        data: Any = None,
+    ) -> int:
+        """Add one residual block (problem.h:230-253).
+
+        ``fn(*blocks)`` or ``fn(*blocks, data)`` must return the residual
+        vector for ONE instance, in pure jnp. Blocks arrive as 1-D arrays.
+        """
+        pids = tuple(int(p) for p in np.atleast_1d(np.asarray(param_ids)).ravel())
+        for p in pids:
+            self._pb(p)  # validate
+        rid = len(self._residual_blocks)
+        self._residual_blocks.append(_ResidualBlockRec(rid, fn, loss, pids, data))
+        self._dirty()
+        return rid
+
+    def add_residual_blocks(
+        self,
+        fn: Callable,
+        loss: Optional[LossFunction],
+        param_ids: Sequence[np.ndarray],
+        data: Any = None,
+    ) -> np.ndarray:
+        """Batched: param_ids is a list of per-argument id arrays (len B each);
+        data leaves must have leading axis B. Creates B residual blocks that
+        will share one family."""
+        cols = [np.atleast_1d(np.asarray(c, dtype=np.int64)) for c in param_ids]
+        B = cols[0].shape[0]
+        for c in cols:
+            if c.shape[0] != B:
+                raise ValueError("param id arrays must have equal length")
+        ids = np.empty(B, dtype=np.int64)
+        base = len(self._residual_blocks)
+        for i in range(B):
+            inst_data = (
+                None
+                if data is None
+                else jax.tree_util.tree_map(lambda leaf: np.asarray(leaf)[i], data)
+            )
+            pids = tuple(int(c[i]) for c in cols)
+            self._residual_blocks.append(
+                _ResidualBlockRec(base + i, fn, loss, pids, inst_data)
+            )
+            ids[i] = base + i
+        self._dirty()
+        return ids
+
+    def remove_residual_block(self, rid: int) -> None:
+        self._residual_blocks[rid].removed = True
+        self._dirty()
+
+    # -- introspection ------------------------------------------------------
+
+    def num_parameter_blocks(self) -> int:
+        return sum(1 for p in self._param_blocks if not p.removed)
+
+    def num_parameters(self) -> int:
+        return sum(p.size for p in self._param_blocks if not p.removed)
+
+    def num_residual_blocks(self) -> int:
+        return sum(1 for r in self._residual_blocks if not r.removed)
+
+    def num_residuals(self) -> int:
+        prog = self.program()
+        return int(sum(f.batch * f.residual_size for f in prog.families))
+
+    def parameter_block_ids(self) -> List[int]:
+        return [p.pid for p in self._param_blocks if not p.removed]
+
+    # -- program ------------------------------------------------------------
+
+    def _dirty(self):
+        self._program_cache = None
+
+    def program(self) -> "Program":
+        """Freeze into an evaluation-ready Program (analog program.{h,cc})."""
+        if self._program_cache is None:
+            self._program_cache = Program(self)
+        return self._program_cache
+
+    def evaluate(
+        self,
+        residuals: bool = False,
+        gradient: bool = False,
+        jacobian: bool = False,
+        apply_loss_function: bool = True,
+    ):
+        """Standalone evaluation at current parameter values.
+
+        Analog of Problem::Evaluate (problem.h:477-481). Returns a dict with
+        keys 'cost' and optionally 'residuals', 'gradient' (tangent space),
+        'jacobian' (dense, rows = residuals, cols = tangent).
+        """
+        from ceres_tpu.evaluator import Evaluator
+
+        prog = self.program()
+        ev = Evaluator(prog, apply_loss_function=apply_loss_function)
+        x = prog.initial_ambient()
+        out = {"cost": float(ev.cost(x))}
+        if residuals:
+            out["residuals"] = np.asarray(ev.residuals(x))
+        if gradient or jacobian:
+            full = ev.cost_gradient_jacobian(x)
+            if gradient:
+                out["gradient"] = np.asarray(full.gradient)
+            if jacobian:
+                out["jacobian"] = np.asarray(full.jacobian_context.to_dense())
+        return out
+
+    def write_back(self, x_ambient: np.ndarray) -> None:
+        """Copy a solved flat ambient vector back into the user blocks."""
+        prog = self.program()
+        x_ambient = np.asarray(x_ambient)
+        for rec in self._param_blocks:
+            if rec.removed:
+                continue
+            off = prog.ambient_offset[rec.pid]
+            rec.values[:] = x_ambient[off : off + rec.size]
+
+
+@dataclasses.dataclass(frozen=True)
+class FamilyStructure:
+    """Static (hashable) part of a residual family."""
+
+    fn: Callable
+    residual_size: int
+    block_sizes: Tuple[int, ...]
+    tangent_sizes: Tuple[int, ...]
+    manifolds: Tuple[Optional[Manifold], ...]
+    has_data: bool
+    loss_struct: Any
+
+
+@dataclasses.dataclass
+class Family:
+    """One batched residual family.
+
+    The dynamic arrays are device-ready; `structure` drives tracing.
+    - ambient_idx[j]: (B, A_j) int32 gather indices into x_ambient
+    - tangent_idx[j]: (B, T_j) int32 scatter indices into the tangent
+      gradient (constant blocks point at the dummy slot = num_tangent)
+    - data: pytree with leading batch axis B
+    """
+
+    structure: FamilyStructure
+    loss: Optional[LossFunction]
+    batch: int
+    ambient_idx: Tuple[jax.Array, ...]
+    tangent_idx: Tuple[jax.Array, ...]
+    data: Any
+    residual_ids: np.ndarray  # original residual block ids, shape (B,)
+    block_ids: np.ndarray  # (B, k) parameter block ids
+    # Per-arg position of each instance's block in the block-diagonal group
+    # of its tangent size (constant blocks -> group size = dummy, dropped).
+    # Used by the block-Jacobi preconditioner and the Schur eliminator.
+    bd_pos: Tuple[jax.Array, ...] = ()
+
+    @property
+    def residual_size(self) -> int:
+        return self.structure.residual_size
+
+    @property
+    def num_args(self) -> int:
+        return len(self.structure.block_sizes)
+
+
+class Program:
+    """Frozen, evaluation-ready view of a Problem.
+
+    Analog of internal/ceres/program.{h,cc}: flat ambient vector layout,
+    tangent layout over non-constant blocks, residual families, bounds,
+    and the batched plus() operator.
+    """
+
+    def __init__(self, problem: Problem):
+        self._problem = problem
+        blocks = [p for p in problem._param_blocks if not p.removed]
+        self.blocks = blocks
+
+        # Ambient layout over ALL live blocks (constant ones included so the
+        # residual functions can read them).
+        self.ambient_offset: Dict[int, int] = {}
+        off = 0
+        for rec in blocks:
+            self.ambient_offset[rec.pid] = off
+            off += rec.size
+        self.num_ambient = off
+
+        # Tangent layout over active (non-constant) blocks.
+        self.tangent_offset: Dict[int, int] = {}
+        t = 0
+        for rec in blocks:
+            if not rec.constant:
+                self.tangent_offset[rec.pid] = t
+                t += rec.tangent_size
+        self.num_tangent = t
+
+        # Block-diagonal grouping of active blocks by tangent size: the layout
+        # for block-Jacobi preconditioning (block_jacobi_preconditioner.h:55)
+        # and per-block operations. bd_groups[T] is a (G_T, T) int32 matrix of
+        # tangent indices; bd_pos_of_pid maps pid -> (T, row in that matrix).
+        self.bd_groups: Dict[int, np.ndarray] = {}
+        self.bd_pos_of_pid: Dict[int, Tuple[int, int]] = {}
+        group_rows: Dict[int, List[np.ndarray]] = {}
+        for rec in blocks:
+            if rec.constant:
+                continue
+            T = rec.tangent_size
+            toff = self.tangent_offset[rec.pid]
+            rows = group_rows.setdefault(T, [])
+            self.bd_pos_of_pid[rec.pid] = (T, len(rows))
+            rows.append(np.arange(toff, toff + T, dtype=np.int32))
+        for T, rows in group_rows.items():
+            self.bd_groups[T] = np.stack(rows)
+
+        self._build_bounds()
+        self._build_plus()
+        self._build_families()
+
+    # -- state vectors ------------------------------------------------------
+
+    def initial_ambient(self) -> jax.Array:
+        x = np.empty(self.num_ambient, dtype=np.float64)
+        for rec in self.blocks:
+            off = self.ambient_offset[rec.pid]
+            x[off : off + rec.size] = rec.values
+        return jnp.asarray(x)
+
+    def _build_bounds(self):
+        lower = np.full(self.num_ambient, -np.inf)
+        upper = np.full(self.num_ambient, np.inf)
+        has = False
+        for rec in self.blocks:
+            off = self.ambient_offset[rec.pid]
+            if rec.lower is not None:
+                lower[off : off + rec.size] = rec.lower
+                has = True
+            if rec.upper is not None:
+                upper[off : off + rec.size] = rec.upper
+                has = True
+        self.has_bounds = has
+        self.lower = jnp.asarray(lower)
+        self.upper = jnp.asarray(upper)
+
+    def clamp(self, x: jax.Array) -> jax.Array:
+        if not self.has_bounds:
+            return x
+        return jnp.clip(x, self.lower, self.upper)
+
+    def is_feasible(self) -> bool:
+        """Initial-point feasibility check (program.cc:194-236)."""
+        x = np.asarray(self.initial_ambient())
+        return bool(
+            np.all(x >= np.asarray(self.lower)) and np.all(x <= np.asarray(self.upper))
+        )
+
+    # -- plus ---------------------------------------------------------------
+
+    def _build_plus(self):
+        """Group active blocks for the batched plus operator (program.cc:114)."""
+        eu_amb: List[int] = []
+        eu_tan: List[int] = []
+        manifold_groups: Dict[Manifold, List[Tuple[int, int]]] = {}
+        for rec in self.blocks:
+            if rec.constant:
+                continue
+            aoff = self.ambient_offset[rec.pid]
+            toff = self.tangent_offset[rec.pid]
+            if rec.manifold is None or isinstance(rec.manifold, EuclideanManifold):
+                eu_amb.extend(range(aoff, aoff + rec.size))
+                eu_tan.extend(range(toff, toff + rec.size))
+            else:
+                manifold_groups.setdefault(rec.manifold, []).append((aoff, toff))
+
+        self._eu_amb = jnp.asarray(eu_amb, dtype=jnp.int32)
+        self._eu_tan = jnp.asarray(eu_tan, dtype=jnp.int32)
+        self._manifold_groups = []
+        for m, offs in manifold_groups.items():
+            A, T = m.ambient_size, m.tangent_size
+            amb = jnp.asarray(
+                [[a + i for i in range(A)] for a, _ in offs], dtype=jnp.int32
+            )
+            tan = jnp.asarray(
+                [[t + i for i in range(T)] for _, t in offs], dtype=jnp.int32
+            )
+            self._manifold_groups.append((m, amb, tan))
+
+    def plus(self, x: jax.Array, delta: jax.Array) -> jax.Array:
+        """x_new = x [+] delta: batched manifold plus over all active blocks."""
+        x_new = x.at[self._eu_amb].add(delta[self._eu_tan], mode="drop")
+        for m, amb, tan in self._manifold_groups:
+            xb = x[amb]  # (G, A)
+            db = delta[tan]  # (G, T)
+            x_new = x_new.at[amb].set(jax.vmap(m.plus)(xb, db))
+        return x_new
+
+    # -- families -----------------------------------------------------------
+
+    def _family_key(self, rb: _ResidualBlockRec):
+        sizes = tuple(self._problem._param_blocks[p].size for p in rb.param_ids)
+        manifolds = tuple(
+            self._problem._param_blocks[p].manifold for p in rb.param_ids
+        )
+        data_struct = (
+            None
+            if rb.data is None
+            else jax.tree_util.tree_structure(rb.data)
+        )
+        return (rb.fn, sizes, manifolds, _loss_structure(rb.loss), data_struct)
+
+    def _build_families(self):
+        groups: Dict[Any, List[_ResidualBlockRec]] = {}
+        order: List[Any] = []
+        for rb in self._problem._residual_blocks:
+            if rb.removed:
+                continue
+            key = self._family_key(rb)
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append(rb)
+
+        pblocks = self._problem._param_blocks
+        families: List[Family] = []
+        for key in order:
+            rbs = groups[key]
+            fn, sizes, manifolds, _, _ = key
+            B = len(rbs)
+            k = len(sizes)
+            tangent_sizes = tuple(
+                (m.tangent_size if m is not None else s)
+                for s, m in zip(sizes, manifolds)
+            )
+            amb_idx = []
+            tan_idx = []
+            for j in range(k):
+                aj = np.empty((B, sizes[j]), dtype=np.int32)
+                tj = np.empty((B, tangent_sizes[j]), dtype=np.int32)
+                for i, rb in enumerate(rbs):
+                    pid = rb.param_ids[j]
+                    aoff = self.ambient_offset[pid]
+                    aj[i] = np.arange(aoff, aoff + sizes[j], dtype=np.int32)
+                    if pblocks[pid].constant:
+                        tj[i] = self.num_tangent  # dummy slot, dropped
+                    else:
+                        toff = self.tangent_offset[pid]
+                        tj[i] = np.arange(
+                            toff, toff + tangent_sizes[j], dtype=np.int32
+                        )
+                amb_idx.append(jnp.asarray(aj))
+                tan_idx.append(jnp.asarray(tj))
+
+            if rbs[0].data is not None:
+                data = jax.tree_util.tree_map(
+                    lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]),
+                    *[rb.data for rb in rbs],
+                )
+            else:
+                data = None
+
+            loss = rbs[0].loss
+            if loss is not None and B > 1:
+                # Batch loss parameters across instances when they differ;
+                # identical leaves collapse to broadcastable scalars.
+                leaves0 = jax.tree_util.tree_leaves(loss)
+                all_same = all(
+                    all(
+                        np.array_equal(
+                            np.asarray(a), np.asarray(b)
+                        )
+                        for a, b in zip(
+                            leaves0, jax.tree_util.tree_leaves(rb.loss)
+                        )
+                    )
+                    for rb in rbs[1:]
+                )
+                if not all_same:
+                    loss = jax.tree_util.tree_map(
+                        lambda *leaves: jnp.stack(
+                            [jnp.asarray(l) for l in leaves]
+                        ),
+                        *[rb.loss for rb in rbs],
+                    )
+
+            bd_pos = []
+            for j in range(k):
+                T = tangent_sizes[j]
+                dummy = self.bd_groups.get(T, np.zeros((0, T))).shape[0]
+                pj = np.empty((B,), dtype=np.int32)
+                for i, rb in enumerate(rbs):
+                    pid = rb.param_ids[j]
+                    if pblocks[pid].constant:
+                        pj[i] = dummy
+                    else:
+                        pj[i] = self.bd_pos_of_pid[pid][1]
+                bd_pos.append(jnp.asarray(pj))
+
+            residual_size = self._infer_residual_size(fn, sizes, data)
+            structure = FamilyStructure(
+                fn=fn,
+                residual_size=residual_size,
+                block_sizes=sizes,
+                tangent_sizes=tangent_sizes,
+                manifolds=manifolds,
+                has_data=data is not None,
+                loss_struct=_loss_structure(loss),
+            )
+            families.append(
+                Family(
+                    structure=structure,
+                    loss=loss,
+                    batch=B,
+                    ambient_idx=tuple(amb_idx),
+                    tangent_idx=tuple(tan_idx),
+                    data=data,
+                    residual_ids=np.asarray([rb.rid for rb in rbs]),
+                    block_ids=np.asarray([rb.param_ids for rb in rbs]),
+                    bd_pos=tuple(bd_pos),
+                )
+            )
+        self.families: List[Family] = families
+
+    @staticmethod
+    def _infer_residual_size(fn, sizes, data) -> int:
+        args = [jax.ShapeDtypeStruct((s,), jnp.float64) for s in sizes]
+        if data is not None:
+            inst = jax.tree_util.tree_map(
+                lambda leaf: jax.ShapeDtypeStruct(leaf.shape[1:], leaf.dtype), data
+            )
+            out = jax.eval_shape(fn, *args, inst)
+        else:
+            out = jax.eval_shape(fn, *args)
+        if len(out.shape) != 1:
+            raise ValueError(
+                f"residual function must return a 1-D vector, got {out.shape}"
+            )
+        return int(out.shape[0])
+
+    # -- reporting ----------------------------------------------------------
+
+    def num_residuals(self) -> int:
+        return sum(f.batch * f.residual_size for f in self.families)
+
+    def num_residual_blocks(self) -> int:
+        return sum(f.batch for f in self.families)
+
+    def num_parameter_blocks(self) -> int:
+        return len(self.blocks)
+
+    def num_active_parameter_blocks(self) -> int:
+        return sum(1 for b in self.blocks if not b.constant)

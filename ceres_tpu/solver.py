@@ -1,0 +1,315 @@
+"""Solver entry point: options, summary, and solve().
+
+TPU-native analog of ``include/ceres/solver.h:61-1127`` and
+``internal/ceres/solver.cc:646-960``: the same option vocabulary and
+defaults, option cross-validation (solver.cc:714-730), the
+preprocess -> minimize -> summarize pipeline, and Brief/Full reports.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ceres_tpu.problem import Problem
+from ceres_tpu.types import (
+    DoglegType,
+    LinearSolverType,
+    LineSearchDirectionType,
+    LineSearchType,
+    LoggingType,
+    MinimizerType,
+    NonlinearConjugateGradientType,
+    PreconditionerType,
+    TerminationType,
+    TrustRegionStrategyType,
+)
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """Analog of Solver::Options (solver.h:61-816); defaults match."""
+
+    minimizer_type: MinimizerType = MinimizerType.TRUST_REGION
+    trust_region_strategy_type: TrustRegionStrategyType = (
+        TrustRegionStrategyType.LEVENBERG_MARQUARDT
+    )
+    dogleg_type: DoglegType = DoglegType.TRADITIONAL_DOGLEG
+
+    # Line search options (solver.h:114-306).
+    line_search_direction_type: LineSearchDirectionType = (
+        LineSearchDirectionType.LBFGS
+    )
+    line_search_type: LineSearchType = LineSearchType.WOLFE
+    nonlinear_conjugate_gradient_type: NonlinearConjugateGradientType = (
+        NonlinearConjugateGradientType.FLETCHER_REEVES
+    )
+    max_lbfgs_rank: int = 20
+    use_approximate_eigenvalue_bfgs_scaling: bool = False
+    min_line_search_step_size: float = 1e-9
+    line_search_sufficient_function_decrease: float = 1e-4
+    max_line_search_step_contraction: float = 1e-3
+    min_line_search_step_contraction: float = 0.6
+    max_num_line_search_step_size_iterations: int = 20
+    max_num_line_search_direction_restarts: int = 5
+    line_search_sufficient_curvature_decrease: float = 0.9
+    max_line_search_step_expansion: float = 10.0
+
+    # Trust region options (solver.h:307-470).
+    max_num_iterations: int = 50
+    max_solver_time_in_seconds: float = 1e6
+    function_tolerance: float = 1e-6
+    gradient_tolerance: float = 1e-10
+    parameter_tolerance: float = 1e-8
+    initial_trust_region_radius: float = 1e4
+    max_trust_region_radius: float = 1e16
+    min_trust_region_radius: float = 1e-32
+    min_relative_decrease: float = 1e-3
+    min_lm_diagonal: float = 1e-6
+    max_lm_diagonal: float = 1e32
+    max_num_consecutive_invalid_steps: int = 5
+    use_nonmonotonic_steps: bool = False
+    max_consecutive_nonmonotonic_steps: int = 5
+    jacobi_scaling: bool = True
+
+    # Linear solver options (solver.h:471-660).
+    linear_solver_type: Optional[LinearSolverType] = None  # None = auto
+    preconditioner_type: PreconditionerType = PreconditionerType.JACOBI
+    min_linear_solver_iterations: int = 0
+    max_linear_solver_iterations: int = 500
+    eta: float = 1e-1
+    use_explicit_schur_complement: bool = False
+    use_mixed_precision_solves: bool = False
+    max_num_refinement_iterations: int = 0
+    use_spse_initialization: bool = False
+    max_num_spse_iterations: int = 5
+    spse_tolerance: float = 0.1
+
+    # Inner iterations (solver.h:560-600).
+    use_inner_iterations: bool = False
+    inner_iteration_tolerance: float = 1e-3
+
+    # Logging / callbacks (solver.h:717-815).
+    logging_type: LoggingType = LoggingType.PER_MINIMIZER_ITERATION
+    minimizer_progress_to_stdout: bool = False
+    check_gradients: bool = False
+    gradient_check_relative_precision: float = 1e-8
+    gradient_check_numeric_derivative_relative_step_size: float = 1e-6
+    callbacks: List[Callable] = dataclasses.field(default_factory=list)
+
+    # Multi-device execution (TPU analog of num_threads, solver.h:429).
+    mesh: Optional[object] = None  # jax.sharding.Mesh for sharded evaluation
+    num_threads: int = 1  # accepted for API parity; ignored on TPU
+
+    def validate(self, num_tangent: int) -> Optional[str]:
+        """Cross-validation analog of Solver::Options::IsValid (solver.cc:714)."""
+        positive = [
+            ("function_tolerance", self.function_tolerance),
+            ("gradient_tolerance", self.gradient_tolerance),
+            ("parameter_tolerance", self.parameter_tolerance),
+            ("initial_trust_region_radius", self.initial_trust_region_radius),
+            ("max_trust_region_radius", self.max_trust_region_radius),
+            ("min_lm_diagonal", self.min_lm_diagonal),
+            ("max_lm_diagonal", self.max_lm_diagonal),
+            ("eta", self.eta),
+        ]
+        for name, v in positive:
+            if v <= 0:
+                return f"{name} must be > 0, got {v}"
+        if self.max_num_iterations < 0:
+            return "max_num_iterations must be >= 0"
+        if self.min_trust_region_radius <= 0:
+            return "min_trust_region_radius must be > 0"
+        if self.min_lm_diagonal > self.max_lm_diagonal:
+            return "min_lm_diagonal > max_lm_diagonal"
+        if self.min_relative_decrease <= 0:
+            return "min_relative_decrease must be > 0"
+        return None
+
+    def resolved_linear_solver_type(self, problem_info) -> LinearSolverType:
+        if self.linear_solver_type is not None:
+            return self.linear_solver_type
+        # Auto (preprocessor heuristic): dense for small tangent spaces,
+        # CGNR otherwise (the reference defaults to sparse Cholesky which
+        # maps to our CGNR stand-in, trust_region_preprocessor.cc:160-260).
+        if problem_info <= 1024:
+            return LinearSolverType.DENSE_NORMAL_CHOLESKY
+        return LinearSolverType.CGNR
+
+
+@dataclasses.dataclass
+class SolverSummary:
+    """Analog of Solver::Summary (solver.h:818-1106)."""
+
+    termination_type: TerminationType = TerminationType.FAILURE
+    message: str = ""
+    initial_cost: float = 0.0
+    final_cost: float = 0.0
+    fixed_cost: float = 0.0
+    iterations: List = dataclasses.field(default_factory=list)
+    num_parameter_blocks: int = 0
+    num_parameters: int = 0
+    num_effective_parameters: int = 0
+    num_residual_blocks: int = 0
+    num_residuals: int = 0
+    num_successful_steps: int = 0
+    num_unsuccessful_steps: int = 0
+    num_inner_iteration_steps: int = 0
+    preprocessor_time_in_seconds: float = 0.0
+    minimizer_time_in_seconds: float = 0.0
+    postprocessor_time_in_seconds: float = 0.0
+    total_time_in_seconds: float = 0.0
+    linear_solver_type_used: Optional[LinearSolverType] = None
+    minimizer_type: MinimizerType = MinimizerType.TRUST_REGION
+    trust_region_strategy_type: TrustRegionStrategyType = (
+        TrustRegionStrategyType.LEVENBERG_MARQUARDT
+    )
+
+    def is_solution_usable(self) -> bool:
+        """solver.h IsSolutionUsable."""
+        return self.termination_type in (
+            TerminationType.CONVERGENCE,
+            TerminationType.NO_CONVERGENCE,
+            TerminationType.USER_SUCCESS,
+        )
+
+    def brief_report(self) -> str:
+        """Analog of Summary::BriefReport (solver.cc:864)."""
+        return (
+            f"Ceres-TPU Solver Report: Iterations: {len(self.iterations)}, "
+            f"Initial cost: {self.initial_cost:e}, "
+            f"Final cost: {self.final_cost:e}, "
+            f"Termination: {self.termination_type}"
+        )
+
+    def full_report(self) -> str:
+        """Analog of Summary::FullReport (solver.cc:890-960)."""
+        lines = [
+            "",
+            "Solver Summary (ceres_tpu)",
+            "",
+            f"{'Parameter blocks':<30}{self.num_parameter_blocks:>12}",
+            f"{'Parameters':<30}{self.num_parameters:>12}",
+            f"{'Effective parameters':<30}{self.num_effective_parameters:>12}",
+            f"{'Residual blocks':<30}{self.num_residual_blocks:>12}",
+            f"{'Residuals':<30}{self.num_residuals:>12}",
+            "",
+            f"{'Minimizer type':<30}{str(self.minimizer_type):>12}",
+            f"{'Linear solver':<30}"
+            f"{str(self.linear_solver_type_used):>12}",
+            "",
+            f"{'Initial cost':<30}{self.initial_cost:>12.6e}",
+            f"{'Final cost':<30}{self.final_cost:>12.6e}",
+            f"{'Fixed cost':<30}{self.fixed_cost:>12.6e}",
+            "",
+            f"{'Successful steps':<30}{self.num_successful_steps:>12}",
+            f"{'Unsuccessful steps':<30}{self.num_unsuccessful_steps:>12}",
+            "",
+            f"{'Preprocessor time (s)':<30}{self.preprocessor_time_in_seconds:>12.4f}",
+            f"{'Minimizer time (s)':<30}{self.minimizer_time_in_seconds:>12.4f}",
+            f"{'Total time (s)':<30}{self.total_time_in_seconds:>12.4f}",
+            "",
+            f"Termination: {self.termination_type} ({self.message})",
+        ]
+        return "\n".join(lines)
+
+
+def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
+    """Analog of ceres::Solve (solver.cc:857, Solver::Solve solver.cc:734).
+
+    Solves in place: final parameter values are written back into the
+    problem's parameter blocks.
+    """
+    total_t0 = time.time()
+    summary = SolverSummary()
+    summary.minimizer_type = options.minimizer_type
+    summary.trust_region_strategy_type = options.trust_region_strategy_type
+
+    # Preprocess: freeze program, resolve config (solver.cc:789-793).
+    pre_t0 = time.time()
+    program = problem.program()
+    summary.num_parameter_blocks = program.num_parameter_blocks()
+    summary.num_parameters = program.num_ambient
+    summary.num_effective_parameters = program.num_tangent
+    summary.num_residual_blocks = program.num_residual_blocks()
+    summary.num_residuals = program.num_residuals()
+
+    err = options.validate(program.num_tangent)
+    if err is not None:
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = f"Invalid options: {err}"
+        return summary
+
+    if program.num_tangent == 0:
+        # All blocks constant: nothing to optimize (solver.cc handles this
+        # by returning the fixed cost).
+        from ceres_tpu.evaluator import Evaluator
+
+        ev = Evaluator(program)
+        c = float(ev.cost(program.initial_ambient()))
+        summary.initial_cost = summary.final_cost = c
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = "No effective parameters; problem is constant."
+        summary.total_time_in_seconds = time.time() - total_t0
+        return summary
+
+    if not program.is_feasible():
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = "Initial point infeasible (violates bounds)."
+        return summary
+
+    resolved = dataclasses.replace(
+        options,
+        linear_solver_type=options.resolved_linear_solver_type(
+            program.num_tangent
+        ),
+    )
+    summary.linear_solver_type_used = resolved.linear_solver_type
+
+    if options.check_gradients:
+        from ceres_tpu.gradient_checker import check_problem_gradients
+
+        ok, msg = check_problem_gradients(
+            problem, options.gradient_check_relative_precision
+        )
+        if not ok:
+            summary.termination_type = TerminationType.FAILURE
+            summary.message = f"Gradient check failed: {msg}"
+            return summary
+
+    summary.preprocessor_time_in_seconds = time.time() - pre_t0
+
+    # Minimize.
+    min_t0 = time.time()
+    x0 = program.initial_ambient()
+    if options.minimizer_type == MinimizerType.TRUST_REGION:
+        from ceres_tpu.trust_region import TrustRegionMinimizer
+
+        minimizer = TrustRegionMinimizer(program, resolved, summary)
+        x_final = minimizer.minimize(x0)
+    else:
+        from ceres_tpu.line_search import LineSearchMinimizer
+
+        minimizer = LineSearchMinimizer(program, resolved, summary)
+        x_final = minimizer.minimize(x0)
+    summary.minimizer_time_in_seconds = time.time() - min_t0
+
+    # Postprocess (solver.cc:834-855).
+    post_t0 = time.time()
+    if summary.iterations:
+        summary.initial_cost = summary.iterations[0].cost
+        summary.final_cost = min(i.cost for i in summary.iterations)
+        summary.num_successful_steps = sum(
+            1 for i in summary.iterations if i.step_is_successful
+        )
+        summary.num_unsuccessful_steps = sum(
+            1 for i in summary.iterations if not i.step_is_successful
+        )
+    if summary.is_solution_usable():
+        problem.write_back(x_final)
+    summary.postprocessor_time_in_seconds = time.time() - post_t0
+    summary.total_time_in_seconds = time.time() - total_t0
+    return summary

@@ -1,0 +1,508 @@
+"""Trust-region minimizer: Levenberg-Marquardt outer loop.
+
+TPU-native analog of ``internal/ceres/trust_region_minimizer.{h,cc}:68-841``,
+``levenberg_marquardt_strategy.cc`` and
+``trust_region_step_evaluator.{h,cc}``.
+
+Design split: the *data-dependent scalar control flow* (accept/reject,
+radius update, convergence tests) stays on the host exactly like the
+reference's loop, while every heavy computation — residual+Jacobian
+evaluation, LM diagonal, the linear solve, model-cost-change — is a handful
+of jitted XLA computations with static shapes, so nothing recompiles across
+iterations. (A fully fused `lax.while_loop` variant lives in
+``ceres_tpu.models.bal`` for benchmark workloads.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_tpu.evaluator import Evaluator, JacobianContext
+from ceres_tpu.linear.cgnr import solve_cgnr
+from ceres_tpu.linear.dense import (
+    solve_dense_normal_cholesky,
+    solve_dense_qr,
+)
+from ceres_tpu.problem import Program
+from ceres_tpu.types import (
+    CallbackReturnType,
+    LinearSolverType,
+    PreconditionerType,
+    TerminationType,
+)
+
+_DBL_MAX = float(np.finfo(np.float64).max)
+
+
+class TrustRegionStepEvaluator:
+    """Non-monotonic step acceptance (trust_region_step_evaluator.cc,
+    Conn/Gould/Toint Algorithm 10.1.2)."""
+
+    def __init__(self, initial_cost: float, max_consecutive_nonmonotonic_steps: int):
+        self.max_nonmonotonic = max_consecutive_nonmonotonic_steps
+        self.minimum_cost = initial_cost
+        self.current_cost = initial_cost
+        self.reference_cost = initial_cost
+        self.candidate_cost = initial_cost
+        self.accumulated_reference_model_cost_change = 0.0
+        self.accumulated_candidate_model_cost_change = 0.0
+        self.num_consecutive_nonmonotonic_steps = 0
+
+    def step_quality(self, cost: float, model_cost_change: float) -> float:
+        if cost >= _DBL_MAX:
+            return -_DBL_MAX
+        relative_decrease = (self.current_cost - cost) / model_cost_change
+        historical = (self.reference_cost - cost) / (
+            self.accumulated_reference_model_cost_change + model_cost_change
+        )
+        return max(relative_decrease, historical)
+
+    def step_accepted(self, cost: float, model_cost_change: float) -> None:
+        self.current_cost = cost
+        self.accumulated_candidate_model_cost_change += model_cost_change
+        self.accumulated_reference_model_cost_change += model_cost_change
+        if self.current_cost < self.minimum_cost:
+            self.minimum_cost = self.current_cost
+            self.num_consecutive_nonmonotonic_steps = 0
+            self.candidate_cost = self.current_cost
+            self.accumulated_candidate_model_cost_change = 0.0
+        else:
+            self.num_consecutive_nonmonotonic_steps += 1
+            if self.current_cost > self.candidate_cost:
+                self.candidate_cost = self.current_cost
+                self.accumulated_candidate_model_cost_change = 0.0
+        if self.num_consecutive_nonmonotonic_steps == self.max_nonmonotonic:
+            self.reference_cost = self.candidate_cost
+            self.accumulated_reference_model_cost_change = (
+                self.accumulated_candidate_model_cost_change
+            )
+
+
+@dataclasses.dataclass
+class IterationSummary:
+    """Analog of ceres::IterationSummary (iteration_callback.h)."""
+
+    iteration: int = 0
+    step_is_valid: bool = False
+    step_is_nonmonotonic: bool = False
+    step_is_successful: bool = False
+    cost: float = 0.0
+    cost_change: float = 0.0
+    gradient_max_norm: float = 0.0
+    gradient_norm: float = 0.0
+    step_norm: float = 0.0
+    relative_decrease: float = 0.0
+    trust_region_radius: float = 0.0
+    eta: float = 0.0
+    step_size: float = 0.0
+    line_search_function_evaluations: int = 0
+    linear_solver_iterations: int = 0
+    iteration_time_in_seconds: float = 0.0
+    step_solver_time_in_seconds: float = 0.0
+    cumulative_time_in_seconds: float = 0.0
+
+
+class LevenbergMarquardtStrategy:
+    """Radius/damping state machine (levenberg_marquardt_strategy.cc)."""
+
+    def __init__(self, options):
+        self.radius = options.initial_trust_region_radius
+        self.max_radius = options.max_trust_region_radius
+        self.decrease_factor = 2.0
+
+    def step_accepted(self, step_quality: float) -> None:
+        # levenberg_marquardt_strategy.cc:158-165
+        self.radius = self.radius / max(
+            1.0 / 3.0, 1.0 - (2.0 * step_quality - 1.0) ** 3
+        )
+        self.radius = min(self.max_radius, self.radius)
+        self.decrease_factor = 2.0
+
+    def step_rejected(self, step_quality: float) -> None:
+        # levenberg_marquardt_strategy.cc:167-171
+        del step_quality
+        self.radius = self.radius / self.decrease_factor
+        self.decrease_factor *= 2.0
+
+    step_is_invalid = step_rejected
+
+
+def _make_lm_step_fn(options, program: Program):
+    """Build the jitted 'compute one LM step' kernel for the configured
+    linear solver. Returns f(ctx, radius) -> (step, model_cost_change,
+    linear_iterations)."""
+    lst = options.linear_solver_type
+    min_d = options.min_lm_diagonal
+    max_d = options.max_lm_diagonal
+    bd_groups = {T: jnp.asarray(idx) for T, idx in program.bd_groups.items()}
+
+    def linear_solve(ctx: JacobianContext, D: jax.Array):
+        if lst == LinearSolverType.DENSE_QR:
+            return solve_dense_qr(ctx, D), jnp.asarray(1, jnp.int32)
+        if lst == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+            return solve_dense_normal_cholesky(ctx, D), jnp.asarray(1, jnp.int32)
+        if lst == LinearSolverType.CGNR:
+            res = solve_cgnr(
+                ctx,
+                D,
+                preconditioner_type=options.preconditioner_type,
+                bd_groups=bd_groups
+                if options.preconditioner_type == PreconditionerType.JACOBI
+                else None,
+                max_num_iterations=options.max_linear_solver_iterations,
+                min_num_iterations=options.min_linear_solver_iterations,
+                q_tolerance=options.eta,
+                r_tolerance=-1.0,
+            )
+            return res.x, res.num_iterations
+        if lst in (
+            LinearSolverType.DENSE_SCHUR,
+            LinearSolverType.ITERATIVE_SCHUR,
+            LinearSolverType.SPARSE_SCHUR,
+        ):
+            from ceres_tpu.linear.schur import solve_schur
+
+            return solve_schur(ctx, D, program, options)
+        if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+            # TPU-native stand-in: exact block factorization is replaced by
+            # CGNR with a block-Jacobi preconditioner driven to high
+            # accuracy (SURVEY.md §7 hard part (b)).
+            res = solve_cgnr(
+                ctx,
+                D,
+                preconditioner_type=PreconditionerType.JACOBI,
+                bd_groups=bd_groups,
+                max_num_iterations=max(
+                    options.max_linear_solver_iterations, program.num_tangent
+                ),
+                q_tolerance=-1.0,
+                r_tolerance=1e-14,
+            )
+            return res.x, res.num_iterations
+        raise ValueError(f"unsupported linear solver {lst}")
+
+    @jax.jit
+    def step_fn(ctx: JacobianContext, radius: jax.Array):
+        # levenberg_marquardt_strategy.cc:78-95: D = sqrt(clamped diag/radius)
+        diag = jnp.clip(ctx.squared_column_norms(), min_d, max_d)
+        D = jnp.sqrt(diag / radius)
+        y, lin_iters = linear_solve(ctx, D)
+        step = -y
+        # model_cost_change = -(J step)'(f + J step / 2)
+        # (trust_region_minimizer.cc:424-438)
+        Js = ctx.matvec(step)
+        mcc = jnp.asarray(0.0, jnp.float64)
+        for fi in range(len(ctx.families)):
+            mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+        return step, mcc, lin_iters
+
+    return step_fn
+
+
+class TrustRegionMinimizer:
+    """The outer loop (trust_region_minimizer.cc:68-136)."""
+
+    def __init__(self, program: Program, options, summary):
+        self.program = program
+        self.options = options
+        self.summary = summary
+        self.evaluator = Evaluator(program)
+        self.step_fn = _make_lm_step_fn(options, program)
+        self._plus = jax.jit(program.plus)
+        self._scale_columns = jax.jit(lambda ctx, s: ctx.scale_columns(s))
+
+    def minimize(self, x0: jax.Array):
+        opts = self.options
+        program = self.program
+        summary = self.summary
+        start_time = time.time()
+
+        x = program.clamp(x0)
+        strategy = LevenbergMarquardtStrategy(opts)
+
+        # Iteration zero (trust_region_minimizer.cc:196-283).
+        full = self.evaluator.cost_gradient_jacobian(x)
+        x_cost = float(full.cost)
+        if not np.isfinite(x_cost):
+            summary.termination_type = TerminationType.FAILURE
+            summary.message = "Initial cost evaluation failed (non-finite)."
+            return np.asarray(x)
+        grad = full.gradient
+        ctx = full.jacobian_context
+
+        jacobi_scaling = None
+        if opts.jacobi_scaling:
+            # scale_i = 1 / (1 + sqrt(diag(J'J)_i))
+            # (trust_region_minimizer.cc:263-279)
+            jacobi_scaling = 1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms()))
+
+        step_evaluator = TrustRegionStepEvaluator(
+            x_cost,
+            opts.max_consecutive_nonmonotonic_steps
+            if opts.use_nonmonotonic_steps
+            else 0,
+        )
+
+        it = IterationSummary(
+            iteration=0,
+            cost=x_cost + summary.fixed_cost,
+            gradient_max_norm=float(jnp.max(jnp.abs(grad))) if grad.size else 0.0,
+            gradient_norm=float(jnp.linalg.norm(grad)),
+            trust_region_radius=strategy.radius,
+            eta=opts.eta,
+            step_is_valid=True,
+            step_is_successful=True,
+            cumulative_time_in_seconds=time.time() - start_time,
+        )
+        summary.iterations.append(it)
+        self._log_progress(it)
+
+        if it.gradient_max_norm <= opts.gradient_tolerance:
+            summary.termination_type = TerminationType.CONVERGENCE
+            summary.message = (
+                f"Gradient tolerance reached. Gradient max norm: "
+                f"{it.gradient_max_norm:e} <= {opts.gradient_tolerance:e}"
+            )
+            return self._finish(x)
+
+        num_consecutive_invalid_steps = 0
+        atleast_one_successful_step = False
+
+        while True:
+            iter_start = time.time()
+            prev = summary.iterations[-1]
+            it = IterationSummary(
+                iteration=prev.iteration + 1,
+                trust_region_radius=strategy.radius,
+                eta=opts.eta,
+            )
+
+            if self._check_termination_pre(it):
+                return self._finish(x)
+
+            # Compute step with the (scaled) jacobian.
+            solver_t0 = time.time()
+            ctx_used = (
+                self._scale_columns(ctx, jacobi_scaling)
+                if jacobi_scaling is not None
+                else ctx
+            )
+            step_scaled, model_cost_change, lin_iters = self.step_fn(
+                ctx_used, jnp.asarray(strategy.radius, jnp.float64)
+            )
+            model_cost_change = float(model_cost_change)
+            it.linear_solver_iterations = int(lin_iters)
+            it.step_solver_time_in_seconds = time.time() - solver_t0
+            it.step_is_valid = np.isfinite(model_cost_change) and (
+                model_cost_change > 0.0
+            )
+
+            if not it.step_is_valid:
+                # HandleInvalidStep (trust_region_minimizer.cc:466-500)
+                num_consecutive_invalid_steps += 1
+                if (
+                    num_consecutive_invalid_steps
+                    >= opts.max_num_consecutive_invalid_steps
+                ):
+                    summary.termination_type = TerminationType.FAILURE
+                    summary.message = (
+                        "Number of consecutive invalid steps more than "
+                        "Solver::Options::max_num_consecutive_invalid_steps: "
+                        f"{opts.max_num_consecutive_invalid_steps}"
+                    )
+                    return self._finish(x)
+                strategy.step_is_invalid(0.0)
+                it.cost = x_cost + summary.fixed_cost
+                it.gradient_max_norm = prev.gradient_max_norm
+                it.gradient_norm = prev.gradient_norm
+                it.iteration_time_in_seconds = time.time() - iter_start
+                it.cumulative_time_in_seconds = time.time() - start_time
+                summary.iterations.append(it)
+                self._log_progress(it)
+                if self._run_callbacks(it):
+                    return self._finish(x)
+                continue
+
+            num_consecutive_invalid_steps = 0
+            delta = (
+                step_scaled * jacobi_scaling
+                if jacobi_scaling is not None
+                else step_scaled
+            )
+
+            # Projected line search for bounds (trust_region_minimizer.cc:103-108).
+            if program.has_bounds:
+                delta = self._projected_line_search(x, x_cost, delta)
+
+            # Candidate + cost (trust_region_minimizer.cc:775-793).
+            candidate_x = program.clamp(self._plus(x, delta))
+            candidate_cost = float(self.evaluator.cost(candidate_x))
+            if not np.isfinite(candidate_cost):
+                candidate_cost = _DBL_MAX
+
+            x_norm = float(jnp.linalg.norm(x))
+            it.step_norm = float(jnp.linalg.norm(x - candidate_x))
+            it.cost_change = x_cost - candidate_cost
+
+            # Parameter tolerance (trust_region_minimizer.cc:720-742).
+            step_size_tolerance = opts.parameter_tolerance * (
+                x_norm + opts.parameter_tolerance
+            )
+            if atleast_one_successful_step and it.step_norm <= step_size_tolerance:
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    f"Parameter tolerance reached. Relative step_norm: "
+                    f"{it.step_norm / (x_norm + opts.parameter_tolerance):e} <= "
+                    f"{opts.parameter_tolerance:e}."
+                )
+                return self._finish(x)
+
+            # Function tolerance (trust_region_minimizer.cc:744-766).
+            if abs(it.cost_change) <= opts.function_tolerance * x_cost:
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    f"Function tolerance reached. |cost_change|/cost: "
+                    f"{abs(it.cost_change) / x_cost if x_cost else 0.0:e} <= "
+                    f"{opts.function_tolerance:e}"
+                )
+                return self._finish(x)
+
+            # Step quality (IsStepSuccessful, trust_region_minimizer.cc:795-821).
+            it.relative_decrease = step_evaluator.step_quality(
+                candidate_cost, model_cost_change
+            )
+            it.step_is_successful = (
+                it.relative_decrease > opts.min_relative_decrease
+            )
+            it.step_is_nonmonotonic = (
+                it.step_is_successful and candidate_cost > step_evaluator.minimum_cost
+            )
+
+            if it.step_is_successful:
+                atleast_one_successful_step = True
+                x = candidate_x
+                x_cost = candidate_cost
+                full = self.evaluator.cost_gradient_jacobian(x)
+                grad = full.gradient
+                ctx = full.jacobian_context
+                it.gradient_max_norm = (
+                    float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
+                )
+                it.gradient_norm = float(jnp.linalg.norm(grad))
+                strategy.step_accepted(it.relative_decrease)
+                step_evaluator.step_accepted(candidate_cost, model_cost_change)
+            else:
+                strategy.step_rejected(it.relative_decrease)
+                it.gradient_max_norm = prev.gradient_max_norm
+                it.gradient_norm = prev.gradient_norm
+
+            it.cost = x_cost + summary.fixed_cost
+            it.trust_region_radius = strategy.radius
+            it.iteration_time_in_seconds = time.time() - iter_start
+            it.cumulative_time_in_seconds = time.time() - start_time
+            summary.iterations.append(it)
+            self._log_progress(it)
+            if self._run_callbacks(it):
+                return self._finish(x)
+
+            if (
+                it.step_is_successful
+                and it.gradient_max_norm <= opts.gradient_tolerance
+            ):
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    f"Gradient tolerance reached. Gradient max norm: "
+                    f"{it.gradient_max_norm:e} <= {opts.gradient_tolerance:e}"
+                )
+                return self._finish(x)
+
+            if strategy.radius <= opts.min_trust_region_radius:
+                summary.termination_type = TerminationType.CONVERGENCE
+                summary.message = (
+                    "Minimum trust region radius reached. Trust region radius: "
+                    f"{strategy.radius:e} <= {opts.min_trust_region_radius:e}"
+                )
+                return self._finish(x)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _check_termination_pre(self, it: IterationSummary) -> bool:
+        opts = self.options
+        summary = self.summary
+        if it.iteration > opts.max_num_iterations:
+            summary.termination_type = TerminationType.NO_CONVERGENCE
+            summary.message = (
+                "Maximum number of iterations reached. "
+                f"Number of iterations: {it.iteration - 1}."
+            )
+            return True
+        total = it.cumulative_time_in_seconds = (
+            summary.iterations[-1].cumulative_time_in_seconds
+        )
+        if total >= opts.max_solver_time_in_seconds:
+            summary.termination_type = TerminationType.NO_CONVERGENCE
+            summary.message = "Maximum solver time reached."
+            return True
+        return False
+
+    def _projected_line_search(self, x, x_cost, delta):
+        """Backtracking Armijo search on alpha with bound projection.
+
+        Analog of TrustRegionMinimizer::DoLineSearch
+        (trust_region_minimizer.cc:290-379) specialized to the projected
+        step; keeps the candidate feasible and monotone.
+        """
+        program = self.program
+        best_alpha, best_cost = 1.0, None
+        alpha = 1.0
+        for _ in range(self.options.max_num_line_search_step_size_iterations):
+            cand = program.clamp(self._plus(x, alpha * delta))
+            c = float(self.evaluator.cost(cand))
+            if best_cost is None or c < best_cost:
+                best_cost, best_alpha = c, alpha
+            if np.isfinite(c) and c < x_cost:
+                break
+            alpha *= 0.5
+        return best_alpha * delta
+
+    def _run_callbacks(self, it: IterationSummary) -> bool:
+        """Returns True if minimization should stop (callbacks.h:45-75)."""
+        for cb in self.options.callbacks:
+            ret = cb(it)
+            if ret == CallbackReturnType.SOLVER_ABORT:
+                self.summary.termination_type = TerminationType.USER_FAILURE
+                self.summary.message = "User callback returned SOLVER_ABORT."
+                return True
+            if ret == CallbackReturnType.SOLVER_TERMINATE_SUCCESSFULLY:
+                self.summary.termination_type = TerminationType.USER_SUCCESS
+                self.summary.message = (
+                    "User callback returned SOLVER_TERMINATE_SUCCESSFULLY."
+                )
+                return True
+        return False
+
+    def _log_progress(self, it: IterationSummary) -> None:
+        opts = self.options
+        if not opts.minimizer_progress_to_stdout:
+            return
+        if it.iteration == 0:
+            print(
+                "iter      cost      cost_change  |gradient|   |step|  "
+                "  tr_ratio  tr_radius  ls_iter  iter_time  total_time"
+            )
+        print(
+            f"{it.iteration:4d} {it.cost:.6e} {it.cost_change:.2e} "
+            f"{it.gradient_max_norm:.2e} {it.step_norm:.2e} "
+            f"{it.relative_decrease:.2e} {it.trust_region_radius:.2e} "
+            f"{it.linear_solver_iterations:7d} {it.iteration_time_in_seconds:.2e} "
+            f"{it.cumulative_time_in_seconds:.2e}"
+        )
+
+    def _finish(self, x):
+        return np.asarray(x)

@@ -1,0 +1,23 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Mirrors the reference's 1-vs-N-thread testing strategy (SURVEY.md §4.7):
+tests compare single-device vs sharded execution on
+xla_force_host_platform_device_count=8 virtual CPU devices.
+
+Note: the environment's sitecustomize imports jax at interpreter startup
+with JAX_PLATFORMS=axon, so the env var alone is too late — we must also
+flip the already-imported config.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
