@@ -46,14 +46,14 @@ from ceres_tpu.problem import Family, Program
 
 
 def _family_flatten(f: Family):
-    children = (f.ambient_idx, f.tangent_idx, f.data, f.loss, f.bd_pos)
+    children = (f.ambient_idx, f.tangent_idx, f.data, f.loss, f.bd_pos, f.mask)
     aux = (f.structure, f.batch)
     return children, aux
 
 
 def _family_unflatten(aux, children):
     structure, batch = aux
-    ambient_idx, tangent_idx, data, loss, bd_pos = children
+    ambient_idx, tangent_idx, data, loss, bd_pos, mask = children
     return Family(
         structure=structure,
         loss=loss,
@@ -64,6 +64,7 @@ def _family_unflatten(aux, children):
         residual_ids=None,
         block_ids=None,
         bd_pos=bd_pos,
+        mask=mask,
     )
 
 
@@ -98,8 +99,12 @@ def family_residuals(family: Family, x: jax.Array) -> jax.Array:
     st = family.structure
     blocks = tuple(x[idx] for idx in family.ambient_idx)
     if st.has_data:
-        return jax.vmap(lambda bs, d: st.fn(*bs, d))(blocks, family.data)
-    return jax.vmap(lambda bs: st.fn(*bs))(blocks)
+        r = jax.vmap(lambda bs, d: st.fn(*bs, d))(blocks, family.data)
+    else:
+        r = jax.vmap(lambda bs: st.fn(*bs))(blocks)
+    if family.mask is not None:
+        r = r * family.mask[:, None]
+    return r
 
 
 def family_residuals_and_jacobians(
@@ -126,6 +131,10 @@ def family_residuals_and_jacobians(
     r, jacs = jax.vmap(res_and_jac, in_axes=(0, 0, 0 if st.has_data else None))(
         blocks, zeros, family.data
     )
+    if family.mask is not None:
+        m = family.mask
+        r = r * m[:, None]
+        jacs = tuple(J * m[:, None, None] for J in jacs)
     return r, jacs
 
 

@@ -1,0 +1,462 @@
+"""Schur-complement solvers for bundle-adjustment-structured problems.
+
+TPU-native analog of the reference's Schur stack:
+``schur_eliminator.h:52-216`` / ``schur_eliminator_impl.h`` (chunked
+elimination of e-blocks), ``implicit_schur_complement.{h,cc}:75-145``
+(matrix-free S·x), ``iterative_schur_complement_solver.cc:64-155`` (PCG on
+the reduced camera system), ``schur_complement_solver.{h,cc}`` (dense
+Schur), ``schur_jacobi_preconditioner.h:78`` and
+``power_series_expansion_preconditioner.h:44``.
+
+Design: the elimination ordering (e-blocks = points) is found by a greedy
+maximal independent set over the block-sharing graph
+(parameter_block_ordering.h:74-82). Everything else is expressed as
+batched gathers + segment scatter-adds over the residual families:
+
+    S x = (F'F + D_f^2) x - F'E (E'E + D_e^2)^{-1} E'F x
+
+is four family-sized einsum passes plus one batched (Te,Te) Cholesky —
+no per-chunk loop, no locks (the reference's rhs_locks_,
+schur_eliminator.h:345-358, disappear because the scatter-add is one XLA
+op). The dense S for DENSE_SCHUR is vmap(S·e_i) over identity columns:
+one big batched MXU computation instead of 43 generated specializations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ceres_tpu.evaluator import JacobianContext
+from ceres_tpu.linear.cg import CGResult, conjugate_gradients
+from ceres_tpu.types import LinearSolverType, PreconditionerType
+
+
+# ---------------------------------------------------------------------------
+# Elimination ordering
+# ---------------------------------------------------------------------------
+
+
+def compute_schur_ordering(program) -> List[int]:
+    """Greedy maximal independent set of parameter blocks -> e-block pids.
+
+    Analog of ComputeStableSchurOrdering (parameter_block_ordering.cc):
+    e-blocks must not share a residual block with each other. Visiting
+    blocks with the smallest tangent size first makes BA problems pick the
+    points (3) over the cameras (9).
+    """
+    # block -> list of (family_idx, instance) occurrences
+    occurrences: Dict[int, List[Tuple[int, int]]] = {}
+    for fi, fam in enumerate(program.families):
+        for j in range(fam.block_ids.shape[1]):
+            for i, pid in enumerate(fam.block_ids[:, j]):
+                occurrences.setdefault(int(pid), []).append((fi, i))
+
+    active = {
+        rec.pid: rec for rec in program.blocks if not rec.constant
+    }
+    order = sorted(
+        active.keys(),
+        key=lambda pid: (active[pid].tangent_size, -len(occurrences.get(pid, []))),
+    )
+    instance_blocked: Dict[Tuple[int, int], bool] = {}
+    e_blocks: List[int] = []
+    for pid in order:
+        occs = occurrences.get(pid, [])
+        if any(instance_blocked.get(o, False) for o in occs):
+            continue
+        e_blocks.append(pid)
+        for o in occs:
+            instance_blocked[o] = True
+    return e_blocks
+
+
+@dataclasses.dataclass
+class SchurStructure:
+    """Static index structure for Schur elimination (host-built once)."""
+
+    num_points: int
+    e_tangent_size: int
+    e_group: jax.Array  # (P, Te) tangent indices of e-blocks
+    f_mask: jax.Array  # (num_tangent,) 1.0 on f coords, 0.0 on e coords
+    f_idx: jax.Array  # (nf,) tangent indices of f coords
+    # Per family: which arg is the e-block (or -1), and per-instance point
+    # index (P = dropped/dummy for non-e or constant).
+    e_arg: Tuple[int, ...]
+    e_pos: Tuple[Optional[jax.Array], ...]  # (B,) int32 per family
+    # f block-diagonal groups for SCHUR_JACOBI: {T: (G,T) idx}, plus per
+    # family/arg positions and validity.
+    f_groups: Dict[int, jax.Array]
+    f_pos: Tuple[Tuple[Optional[jax.Array], ...], ...]  # [fam][arg] -> (B,)
+
+
+def build_schur_structure(program, ordering: Optional[List[int]] = None) -> SchurStructure:
+    """Build the index structure; ordering overrides the automatic one
+    (the user elimination-group hint, include/ceres/ordered_groups.h)."""
+    if ordering is None:
+        e_pids = compute_schur_ordering(program)
+    else:
+        e_pids = [int(p) for p in ordering]
+    if not e_pids:
+        raise ValueError("no e-blocks found for Schur elimination")
+
+    pblocks = {rec.pid: rec for rec in program.blocks}
+    # Uniform e tangent size: keep the majority size.
+    sizes = {}
+    for pid in e_pids:
+        sizes.setdefault(pblocks[pid].tangent_size, []).append(pid)
+    Te, e_pids = max(sizes.items(), key=lambda kv: len(kv[1]))
+    e_set = set(e_pids)
+
+    point_index = {pid: i for i, pid in enumerate(e_pids)}
+    P = len(e_pids)
+    e_group = np.empty((P, Te), dtype=np.int32)
+    for pid, i in point_index.items():
+        off = program.tangent_offset[pid]
+        e_group[i] = np.arange(off, off + Te, dtype=np.int32)
+
+    f_mask = np.ones(program.num_tangent)
+    f_mask[e_group.reshape(-1)] = 0.0
+    f_idx = np.nonzero(f_mask > 0)[0].astype(np.int32)
+
+    # f block-diagonal groups (f blocks only).
+    f_rows: Dict[int, List[np.ndarray]] = {}
+    f_pos_of_pid: Dict[int, Tuple[int, int]] = {}
+    for rec in program.blocks:
+        if rec.constant or rec.pid in e_set:
+            continue
+        T = rec.tangent_size
+        off = program.tangent_offset[rec.pid]
+        rows = f_rows.setdefault(T, [])
+        f_pos_of_pid[rec.pid] = (T, len(rows))
+        rows.append(np.arange(off, off + T, dtype=np.int32))
+    f_groups = {T: jnp.asarray(np.stack(rows)) for T, rows in f_rows.items()}
+    f_group_sizes = {T: len(rows) for T, rows in f_rows.items()}
+
+    e_arg: List[int] = []
+    e_pos: List[Optional[jax.Array]] = []
+    f_pos: List[Tuple[Optional[jax.Array], ...]] = []
+    for fam in program.families:
+        ea = -1
+        ep = None
+        for j in range(fam.block_ids.shape[1]):
+            col = fam.block_ids[:, j]
+            in_e = np.asarray([int(p) in e_set for p in col])
+            if in_e.any():
+                if not in_e.all():
+                    raise ValueError(
+                        "mixed e/f blocks in one family argument position; "
+                        "regroup the problem or provide an explicit ordering"
+                    )
+                if ea != -1:
+                    raise ValueError(
+                        "two e-blocks in one residual block — invalid "
+                        "elimination ordering (schur_eliminator.h:143)"
+                    )
+                ea = j
+                ep = jnp.asarray(
+                    np.asarray(
+                        [point_index[int(p)] for p in col], dtype=np.int32
+                    )
+                )
+        e_arg.append(ea)
+        e_pos.append(ep)
+
+        fp: List[Optional[jax.Array]] = []
+        for j in range(fam.block_ids.shape[1]):
+            if j == ea:
+                fp.append(None)
+                continue
+            col = fam.block_ids[:, j]
+            T = fam.structure.tangent_sizes[j]
+            dummy = f_group_sizes.get(T, 0)
+            pos = np.asarray(
+                [
+                    f_pos_of_pid.get(int(p), (T, dummy))[1]
+                    if int(p) in f_pos_of_pid
+                    else dummy
+                    for p in col
+                ],
+                dtype=np.int32,
+            )
+            fp.append(jnp.asarray(pos))
+        f_pos.append(tuple(fp))
+
+    return SchurStructure(
+        num_points=P,
+        e_tangent_size=Te,
+        e_group=jnp.asarray(e_group),
+        f_mask=jnp.asarray(f_mask),
+        f_idx=jnp.asarray(f_idx),
+        e_arg=tuple(e_arg),
+        e_pos=tuple(e_pos),
+        f_groups=f_groups,
+        f_pos=tuple(f_pos),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Implicit Schur operators (implicit_schur_complement.cc:49-230)
+# ---------------------------------------------------------------------------
+
+
+class SchurOperator:
+    """Bundle of Schur-space linear maps for one (ctx, D) pair.
+
+    Vectors live in full tangent length; e coords are kept at zero for
+    f-space vectors. One instance per LM solve (factors the (Te,Te)
+    point blocks once, implicit_schur_complement.cc:49 Init).
+    """
+
+    def __init__(self, ctx: JacobianContext, D: jax.Array, ss: SchurStructure):
+        self.ctx = ctx
+        self.ss = ss
+        self.D = D
+        Te, P = ss.e_tangent_size, ss.num_points
+
+        # Assemble E'E + D_e^2 per point: (P, Te, Te), batched Cholesky.
+        ete = jnp.zeros((P, Te, Te), dtype=jnp.float64)
+        for fi, fam in enumerate(ctx.families):
+            ea = ss.e_arg[fi]
+            if ea < 0:
+                continue
+            E = ctx.jacs[fi][ea]  # (B, r, Te)
+            contrib = jnp.einsum("bri,brj->bij", E, E)
+            ete = ete.at[ss.e_pos[fi]].add(contrib, mode="drop")
+        De = D[ss.e_group]  # (P, Te)
+        ete = ete + jax.vmap(jnp.diag)(De * De)
+        self._ete_chol = jax.vmap(
+            lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0]
+        )(ete)
+
+    # -- primitive products -------------------------------------------------
+
+    def _edot(self, w: Tuple[jax.Array, ...]) -> jax.Array:
+        """E' w aggregated per point -> (P, Te)."""
+        ss, ctx = self.ss, self.ctx
+        t = jnp.zeros((ss.num_points, ss.e_tangent_size), dtype=jnp.float64)
+        for fi, fam in enumerate(ctx.families):
+            ea = ss.e_arg[fi]
+            if ea < 0:
+                continue
+            E = ctx.jacs[fi][ea]
+            t = t.at[ss.e_pos[fi]].add(
+                jnp.einsum("bri,br->bi", E, w[fi]), mode="drop"
+            )
+        return t
+
+    def _solve_ete(self, t: jax.Array) -> jax.Array:
+        """(E'E + D_e^2)^{-1} t, batched (P, Te)."""
+        return jax.vmap(lambda c, b: jax.scipy.linalg.cho_solve((c, True), b))(
+            self._ete_chol, t
+        )
+
+    def _embed_e(self, u: jax.Array) -> jax.Array:
+        """(P, Te) point vector -> full tangent vector (zero on f)."""
+        z = jnp.zeros((self.ctx.num_tangent,), dtype=jnp.float64)
+        return z.at[self.ss.e_group].set(u)
+
+    # -- Schur products (implicit_schur_complement.cc:106-145) --------------
+
+    def s_times(self, x: jax.Array) -> jax.Array:
+        """S x for x supported on f coords (full-length vector)."""
+        ctx, ss, D = self.ctx, self.ss, self.D
+        x = x * ss.f_mask
+        w1 = ctx.matvec(x)  # F x (per family, (B, r))
+        t = self._edot(w1)
+        u = self._solve_ete(t)
+        w2 = ctx.matvec(self._embed_e(u))  # E (E'E)^-1 E' F x
+        diff = tuple(a - b for a, b in zip(w1, w2))
+        out = ctx.rmatvec(diff) + (D * D) * x
+        return out * ss.f_mask
+
+    def rhs(self) -> jax.Array:
+        """Reduced rhs: F'f - F'E (E'E)^{-1} E'f
+        (implicit_schur_complement.cc:160-180)."""
+        ctx, ss = self.ctx, self.ss
+        t = self._edot(ctx.residuals)
+        u = self._solve_ete(t)
+        w2 = ctx.matvec(self._embed_e(u))
+        diff = tuple(a - b for a, b in zip(ctx.residuals, w2))
+        return ctx.rmatvec(diff) * ss.f_mask
+
+    def back_substitute(self, x_f: jax.Array) -> jax.Array:
+        """Recover e (point) part: y = (E'E)^{-1} E'(f - F x)
+        (implicit_schur_complement.cc:208)."""
+        ctx, ss = self.ctx, self.ss
+        x_f = x_f * ss.f_mask
+        Jx = ctx.matvec(x_f)
+        diff = tuple(r - w for r, w in zip(ctx.residuals, Jx))
+        t = self._edot(diff)
+        u = self._solve_ete(t)
+        return x_f + self._embed_e(u)
+
+    # -- preconditioners -----------------------------------------------------
+
+    def schur_jacobi_blocks(self) -> Dict[int, jax.Array]:
+        """Block diagonal of S over f blocks (schur_jacobi_preconditioner.h:78).
+
+        Exact when each (e-block, f-block) pair shares at most one residual
+        instance (true for BA: one observation per camera-point pair).
+        """
+        ctx, ss, D = self.ctx, self.ss, self.D
+        out = {
+            T: jnp.zeros((idx.shape[0], T, T), dtype=jnp.float64)
+            for T, idx in ss.f_groups.items()
+        }
+        inv_ete = jax.vmap(
+            lambda c: jax.scipy.linalg.cho_solve(
+                (c, True), jnp.eye(ss.e_tangent_size, dtype=jnp.float64)
+            )
+        )(self._ete_chol)
+        for fi, fam in enumerate(ctx.families):
+            ea = ss.e_arg[fi]
+            for j in range(fam.num_args):
+                if j == ea:
+                    continue
+                T = fam.structure.tangent_sizes[j]
+                if T not in out:
+                    continue
+                F = ctx.jacs[fi][j]  # (B, r, T)
+                contrib = jnp.einsum("bri,brj->bij", F, F)
+                if ea >= 0:
+                    E = ctx.jacs[fi][ea]  # (B, r, Te)
+                    EtF = jnp.einsum("bre,brj->bej", E, F)  # (B, Te, T)
+                    Minv = inv_ete[ss.e_pos[fi]]  # (B, Te, Te)
+                    corr = jnp.einsum("bei,bef,bfj->bij", EtF, Minv, EtF)
+                    contrib = contrib - corr
+                out[T] = out[T].at[ss.f_pos[fi][j]].add(contrib, mode="drop")
+        # Add D^2 on the f diagonal.
+        for T, idx in ss.f_groups.items():
+            Df = D[idx]
+            out[T] = out[T] + jax.vmap(jnp.diag)(Df * Df)
+        return out
+
+    def schur_jacobi_preconditioner(self):
+        blocks = self.schur_jacobi_blocks()
+        factors = {
+            T: jax.vmap(
+                lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0]
+            )(b)
+            for T, b in blocks.items()
+        }
+        ss = self.ss
+
+        def apply(v: jax.Array) -> jax.Array:
+            out = jnp.zeros_like(v)
+            for T, idx in ss.f_groups.items():
+                vb = v[idx]
+                sol = jax.vmap(
+                    lambda c, b: jax.scipy.linalg.cho_solve((c, True), b)
+                )(factors[T], vb)
+                out = out.at[idx].set(sol)
+            return out * ss.f_mask
+
+        return apply
+
+    def power_series_preconditioner(self, num_terms: int):
+        """Truncated Neumann series S^{-1} ~ sum_k (I - M^-1 S)^k M^-1 with
+        M = block-Jacobi of S (power_series_expansion_preconditioner.h:44,
+        Weber et al. power bundle adjustment)."""
+        bj = self.schur_jacobi_preconditioner()
+
+        def apply(v: jax.Array) -> jax.Array:
+            x = bj(v)
+            acc = x
+            for _ in range(num_terms):
+                x = bj(v - self.s_times(acc)) + acc
+                acc = x
+            return acc
+
+        return apply
+
+    # -- dense S -------------------------------------------------------------
+
+    def dense_reduced_system(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Materialize S on the f coordinates as a dense matrix.
+
+        Computed as vmap(S . e_i) over the f-coordinate identity columns:
+        one batched XLA computation (the TPU replacement for the chunked
+        explicit eliminator + its 43 generated specializations).
+        Returns (S (nf, nf), rhs (nf,), f_idx (nf,)).
+        """
+        ss = self.ss
+        f_idx = ss.f_idx
+        n = self.ctx.num_tangent
+
+        def col(i):
+            e = jnp.zeros((n,), dtype=jnp.float64).at[i].set(1.0)
+            return self.s_times(e)[f_idx]
+
+        S = jax.vmap(col)(f_idx).T  # columns stacked
+        rhs = self.rhs()[f_idx]
+        return S, rhs, f_idx
+
+
+# ---------------------------------------------------------------------------
+# Entry point used by the trust-region step function
+# ---------------------------------------------------------------------------
+
+
+def solve_schur(
+    ctx: JacobianContext,
+    D: jax.Array,
+    program,
+    options,
+    ss: Optional[SchurStructure] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve min ||J y - f||^2 + ||D y||^2 by eliminating the e-blocks.
+
+    Returns (y, linear_iterations). Dispatches on
+    options.linear_solver_type: DENSE_SCHUR/SPARSE_SCHUR build the dense
+    reduced system (schur_complement_solver.cc); ITERATIVE_SCHUR runs PCG
+    on the implicit S (iterative_schur_complement_solver.cc:64-155).
+    """
+    if ss is None:
+        ss = getattr(program, "_schur_structure", None)
+        if ss is None:
+            ss = build_schur_structure(program)
+            program._schur_structure = ss
+
+    op = SchurOperator(ctx, D, ss)
+    lst = options.linear_solver_type
+
+    if lst in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR):
+        S, rhs, f_idx = op.dense_reduced_system()
+        chol, low = jax.scipy.linalg.cho_factor(S, lower=True)
+        xf_red = jax.scipy.linalg.cho_solve((chol, low), rhs)
+        x_f = jnp.zeros((ctx.num_tangent,), dtype=jnp.float64).at[f_idx].set(
+            xf_red
+        )
+        y = op.back_substitute(x_f)
+        return y, jnp.asarray(1, jnp.int32)
+
+    # ITERATIVE_SCHUR
+    if options.preconditioner_type == PreconditionerType.SCHUR_JACOBI:
+        M = op.schur_jacobi_preconditioner()
+    elif (
+        options.preconditioner_type
+        == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
+    ):
+        M = op.power_series_preconditioner(options.max_num_spse_iterations)
+    elif options.preconditioner_type == PreconditionerType.JACOBI:
+        M = op.schur_jacobi_preconditioner()  # block-Jacobi of S
+    else:
+        M = None
+
+    rhs = op.rhs()
+    res: CGResult = conjugate_gradients(
+        op.s_times,
+        rhs,
+        preconditioner=M,
+        max_num_iterations=options.max_linear_solver_iterations,
+        min_num_iterations=options.min_linear_solver_iterations,
+        q_tolerance=options.eta,
+        r_tolerance=-1.0,
+    )
+    y = op.back_substitute(res.x)
+    return y, res.num_iterations

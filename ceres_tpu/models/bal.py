@@ -1,0 +1,193 @@
+"""BAL (Bundle Adjustment in the Large) problems.
+
+TPU-native analog of ``examples/bundle_adjuster.cc`` +
+``examples/bal_problem.cc`` + ``examples/snavely_reprojection_error.h``:
+loads BAL text files (or generates synthetic instances with the same
+structure), builds one batched residual family — cameras (9), points (3),
+one 2-D reprojection residual per observation — and solves it with the
+Schur solvers.
+
+The Snavely camera model matches snavely_reprojection_error.h:31-110:
+9 parameters = angle-axis rotation (3), translation (3), focal length,
+k1, k2 radial distortion; the camera looks down -z.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ceres_tpu as ct
+from ceres_tpu.rotation import angle_axis_rotate_point
+
+
+def snavely_reprojection_residual(camera, point, observed):
+    """2-D reprojection error (snavely_reprojection_error.h:31-85)."""
+    p = angle_axis_rotate_point(camera[:3], point) + camera[3:6]
+    # BAL convention: camera looks down -z (bal_problem docs).
+    xp = -p[0] / p[2]
+    yp = -p[1] / p[2]
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (camera[7] + camera[8] * r2)
+    focal = camera[6]
+    predicted_x = focal * distortion * xp
+    predicted_y = focal * distortion * yp
+    return jnp.stack([predicted_x - observed[0], predicted_y - observed[1]])
+
+
+@dataclasses.dataclass
+class BALProblem:
+    """In-memory BAL instance (examples/bal_problem.h)."""
+
+    cameras: np.ndarray  # (C, 9)
+    points: np.ndarray  # (P, 3)
+    camera_index: np.ndarray  # (O,)
+    point_index: np.ndarray  # (O,)
+    observations: np.ndarray  # (O, 2)
+
+    @property
+    def num_cameras(self) -> int:
+        return self.cameras.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def num_observations(self) -> int:
+        return self.observations.shape[0]
+
+
+def load_bal_file(path) -> BALProblem:
+    """Parse the BAL text format (examples/bal_problem.cc ReadFile)."""
+    with open(path) as f:
+        tokens = f.read().split()
+    it = iter(tokens)
+    try:
+        C, P, O = int(next(it)), int(next(it)), int(next(it))
+    except StopIteration:
+        raise ValueError(f"{path}: not a BAL file (missing header)")
+    if len(tokens) != 3 + 4 * O + 9 * C + 3 * P:
+        raise ValueError(
+            f"{path}: truncated BAL file: expected "
+            f"{3 + 4 * O + 9 * C + 3 * P} tokens, got {len(tokens)}"
+        )
+    cam_idx = np.empty(O, dtype=np.int64)
+    pt_idx = np.empty(O, dtype=np.int64)
+    obs = np.empty((O, 2))
+    for o in range(O):
+        cam_idx[o] = int(next(it))
+        pt_idx[o] = int(next(it))
+        obs[o, 0] = float(next(it))
+        obs[o, 1] = float(next(it))
+    rest = np.asarray([float(t) for t in it])
+    cameras = rest[: 9 * C].reshape(C, 9)
+    points = rest[9 * C : 9 * C + 3 * P].reshape(P, 3)
+    return BALProblem(cameras, points, cam_idx, pt_idx, obs)
+
+
+def synthesize_bal(
+    num_cameras: int = 16,
+    num_points: int = 22106,
+    num_observations: int = 83718,
+    noise: float = 1.0,
+    perturb: float = 0.2,
+    seed: int = 0,
+) -> BALProblem:
+    """Generate a synthetic BAL instance with problem-16-22106's shape.
+
+    Cameras on a ring looking at a point cloud; observations are true
+    projections plus pixel noise; the returned initial state is the
+    ground truth perturbed (so the solver has real work to do) — the same
+    role as bal_problem.cc Perturb().
+    """
+    rng = np.random.default_rng(seed)
+    points = rng.standard_normal((num_points, 3)) * np.array([4.0, 4.0, 1.0])
+
+    cameras = np.zeros((num_cameras, 9))
+    for c in range(num_cameras):
+        angle = 2 * np.pi * c / num_cameras
+        # Camera at radius 12, looking roughly at the origin: BAL cameras
+        # look down -z in camera frame, so build R mapping world->camera.
+        pos = np.array([12.0 * np.cos(angle), 12.0 * np.sin(angle), 6.0])
+        z_axis = pos / np.linalg.norm(pos)  # camera -z points to origin
+        x_axis = np.cross([0.0, 0.0, 1.0], z_axis)
+        x_axis /= np.linalg.norm(x_axis)
+        y_axis = np.cross(z_axis, x_axis)
+        R = np.stack([x_axis, y_axis, z_axis])  # world -> camera
+        # angle-axis of R
+        q = _rotation_matrix_to_angle_axis_np(R)
+        cameras[c, :3] = q
+        cameras[c, 3:6] = -R @ pos
+        cameras[c, 6] = 500.0 + 10.0 * rng.standard_normal()
+        cameras[c, 7] = 1e-7 * rng.standard_normal()
+        cameras[c, 8] = 1e-13 * rng.standard_normal()
+
+    obs_per_point = max(2, num_observations // num_points)
+    cam_idx = []
+    pt_idx = []
+    for p in range(num_points):
+        seen = rng.choice(num_cameras, size=min(obs_per_point, num_cameras), replace=False)
+        for c in seen:
+            cam_idx.append(c)
+            pt_idx.append(p)
+    cam_idx = np.asarray(cam_idx[:num_observations], dtype=np.int64)
+    pt_idx = np.asarray(pt_idx[:num_observations], dtype=np.int64)
+
+    # True projections + noise.
+    obs = np.array(
+        jax.vmap(snavely_reprojection_residual)(
+            jnp.asarray(cameras[cam_idx]),
+            jnp.asarray(points[pt_idx]),
+            jnp.zeros((cam_idx.shape[0], 2)),
+        )
+    )
+    obs += noise * rng.standard_normal(obs.shape)
+
+    # Perturb the initial state.
+    cameras_init = cameras.copy()
+    points_init = points + perturb * rng.standard_normal(points.shape)
+    cameras_init[:, 3:6] += perturb * 0.1 * rng.standard_normal((num_cameras, 3))
+
+    return BALProblem(cameras_init, points_init, cam_idx, pt_idx, obs)
+
+
+def _rotation_matrix_to_angle_axis_np(R: np.ndarray) -> np.ndarray:
+    from ceres_tpu.rotation import rotation_matrix_to_angle_axis
+
+    return np.asarray(rotation_matrix_to_angle_axis(jnp.asarray(R)))
+
+
+def build_problem(
+    bal: BALProblem, loss: Optional[ct.loss.LossFunction] = None
+) -> Tuple[ct.Problem, np.ndarray, np.ndarray]:
+    """Build a ceres_tpu Problem; returns (problem, camera_ids, point_ids)."""
+    p = ct.Problem()
+    cam_ids = p.add_parameter_blocks(bal.cameras)
+    pt_ids = p.add_parameter_blocks(bal.points)
+    p.add_residual_blocks(
+        snavely_reprojection_residual,
+        loss,
+        [cam_ids[bal.camera_index], pt_ids[bal.point_index]],
+        data=bal.observations,
+    )
+    return p, cam_ids, pt_ids
+
+
+def default_options(iterative: bool = True) -> ct.SolverOptions:
+    """bundle_adjuster.cc defaults: ITERATIVE_SCHUR + SCHUR_JACOBI."""
+    return ct.SolverOptions(
+        linear_solver_type=(
+            ct.LinearSolverType.ITERATIVE_SCHUR
+            if iterative
+            else ct.LinearSolverType.DENSE_SCHUR
+        ),
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        max_num_iterations=50,
+        eta=0.1,
+    )

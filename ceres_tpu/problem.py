@@ -366,6 +366,11 @@ class Family:
     # of its tangent size (constant blocks -> group size = dummy, dropped).
     # Used by the block-Jacobi preconditioner and the Schur eliminator.
     bd_pos: Tuple[jax.Array, ...] = ()
+    # Row validity mask (B,) or None. Padded instances (added so the batch
+    # divides a device-mesh axis, ceres_tpu.parallel) carry mask 0.0: their
+    # residuals and jacobian blocks are zeroed in the evaluator so every
+    # downstream reduction ignores them. None means all rows are valid.
+    mask: Optional[jax.Array] = None
 
     @property
     def residual_size(self) -> int:

@@ -142,6 +142,23 @@ def _make_lm_step_fn(options, program: Program):
     max_d = options.max_lm_diagonal
     bd_groups = {T: jnp.asarray(idx) for T, idx in program.bd_groups.items()}
 
+    # The Schur elimination structure must be built eagerly (host-side
+    # numpy) so it enters the jitted step as concrete constants — the
+    # analog of the reference doing ordering/structure work in the
+    # preprocessor (trust_region_preprocessor.cc:113-154), not the loop.
+    schur_structure = None
+    if lst in (
+        LinearSolverType.DENSE_SCHUR,
+        LinearSolverType.ITERATIVE_SCHUR,
+        LinearSolverType.SPARSE_SCHUR,
+    ):
+        from ceres_tpu.linear.schur import build_schur_structure
+
+        schur_structure = getattr(program, "_schur_structure", None)
+        if schur_structure is None:
+            schur_structure = build_schur_structure(program)
+            program._schur_structure = schur_structure
+
     def linear_solve(ctx: JacobianContext, D: jax.Array):
         if lst == LinearSolverType.DENSE_QR:
             return solve_dense_qr(ctx, D), jnp.asarray(1, jnp.int32)
@@ -168,7 +185,7 @@ def _make_lm_step_fn(options, program: Program):
         ):
             from ceres_tpu.linear.schur import solve_schur
 
-            return solve_schur(ctx, D, program, options)
+            return solve_schur(ctx, D, program, options, ss=schur_structure)
         if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
             # TPU-native stand-in: exact block factorization is replaced by
             # CGNR with a block-Jacobi preconditioner driven to high

@@ -11,7 +11,9 @@ from ceres_tpu import rotation as rot
 
 def _rand_angle_axis(rng, scale=1.0):
     v = rng.standard_normal(3)
-    return scale * v
+    # Keep |angle| < pi: the angle-axis chart is only injective there
+    # (rotation_test.cc uses the same restriction for roundtrips).
+    return scale * v / np.linalg.norm(v)
 
 
 @pytest.mark.parametrize("scale", [1e-8, 0.1, 1.0, 3.0])
