@@ -1,0 +1,172 @@
+"""Residual-block sharding over a device mesh.
+
+Parallelism model (SURVEY.md §2.12, mapped TPU-first):
+
+1. **Residual-block data parallelism** — the reference's
+   ``ParallelFor(residual blocks)`` fan-out (program_evaluator.h:189)
+   becomes: shard every family's batch axis over the mesh's ``obs``
+   axis. The parameter vector stays replicated; gathers are local;
+   the gradient/J'J scatter-adds and cost sums become ``psum``-style
+   collectives that GSPMD inserts where the reference takes locks
+   (program_evaluator.h:266-284).
+2. **Chunk parallelism in Schur elimination** — e-block (point)
+   contributions are additive (schur_eliminator.h:143-152), so the
+   per-point batched ``E'E`` assembly and the reduced camera system
+   reduce across the same sharded batch axis with no extra code.
+
+Batches are padded to a multiple of the mesh axis size with mask-0 rows
+(zeroed residuals/jacobians, see ``Family.mask``) so shapes divide
+evenly — the padding-vs-recompile trade called out in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ceres_tpu.problem import Family, Program
+
+OBS_AXIS = "obs"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = OBS_AXIS
+) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (all by default).
+
+    Axes are ``Auto`` (GSPMD-propagated): the solve's gathers/scatters keep
+    their single-device form and XLA inserts the collectives — JAX 0.9's
+    default ``Explicit`` mode would instead demand out_shardings on every
+    indexed gather in the evaluator.
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh(
+        (len(devs),),
+        (axis_name,),
+        axis_types=(jax.sharding.AxisType.Auto,),
+        devices=devs,
+    )
+
+
+def _pad_batch(a: jax.Array, pad: int) -> jax.Array:
+    """Append ``pad`` copies of row 0 (valid indices, masked to zero)."""
+    rep = jnp.repeat(a[:1], pad, axis=0)
+    return jnp.concatenate([a, rep], axis=0)
+
+
+def pad_family(fam: Family, multiple: int) -> Family:
+    """Pad a family's batch to a multiple; padded rows carry mask 0."""
+    B = fam.batch
+    Bp = int(math.ceil(B / multiple) * multiple)
+    if Bp == B and fam.mask is None:
+        return fam
+    pad = Bp - B
+    mask = jnp.concatenate(
+        [
+            jnp.ones((B,), jnp.float64)
+            if fam.mask is None
+            else fam.mask,
+            jnp.zeros((pad,), jnp.float64),
+        ]
+    )
+    loss = fam.loss
+    if loss is not None and pad:
+        # Batched (per-instance) loss parameters must pad too.
+        loss = jax.tree_util.tree_map(
+            lambda leaf: _pad_batch(jnp.asarray(leaf), pad)
+            if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == B
+            else leaf,
+            loss,
+        )
+    return Family(
+        structure=fam.structure,
+        loss=loss,
+        batch=Bp,
+        ambient_idx=tuple(_pad_batch(a, pad) for a in fam.ambient_idx),
+        tangent_idx=tuple(_pad_batch(a, pad) for a in fam.tangent_idx),
+        data=None
+        if fam.data is None
+        else jax.tree_util.tree_map(lambda a: _pad_batch(a, pad), fam.data),
+        residual_ids=None
+        if fam.residual_ids is None
+        else np.concatenate(
+            [fam.residual_ids, np.full((pad,), -1, dtype=np.int64)]
+        ),
+        block_ids=None
+        if fam.block_ids is None
+        else np.concatenate([fam.block_ids, np.repeat(fam.block_ids[:1], pad, 0)]),
+        bd_pos=tuple(_pad_batch(b, pad) for b in fam.bd_pos),
+        mask=mask,
+    )
+
+
+def _shard_family(fam: Family, mesh: Mesh, axis_name: str) -> Family:
+    """device_put the batch-axis arrays with NamedSharding(axis, ...)."""
+
+    def put(a):
+        if a is None:
+            return None
+        spec = P(axis_name, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    loss = fam.loss
+    if loss is not None:
+        # Shard per-instance (batched) loss leaves, replicate scalars.
+        loss = jax.tree_util.tree_map(
+            lambda leaf: put(jnp.asarray(leaf))
+            if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == fam.batch
+            else jax.device_put(
+                jnp.asarray(leaf), NamedSharding(mesh, P())
+            ),
+            loss,
+        )
+    return Family(
+        structure=fam.structure,
+        loss=loss,
+        batch=fam.batch,
+        ambient_idx=tuple(put(a) for a in fam.ambient_idx),
+        tangent_idx=tuple(put(a) for a in fam.tangent_idx),
+        data=None
+        if fam.data is None
+        else jax.tree_util.tree_map(put, fam.data),
+        residual_ids=fam.residual_ids,
+        block_ids=fam.block_ids,
+        bd_pos=tuple(put(b) for b in fam.bd_pos),
+        mask=put(fam.mask),
+    )
+
+
+def replicate(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Replicate an array over the whole mesh (the parameter vector)."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_program(
+    program: Program, mesh: Mesh, axis_name: str = OBS_AXIS
+) -> Program:
+    """Shard a Program's residual families over ``mesh`` in place.
+
+    Each family batch is padded to a multiple of the axis size and its
+    batch-axis arrays are placed with ``NamedSharding``; subsequent jitted
+    evaluations (Evaluator, trust-region step, Schur solves) are GSPMD-
+    partitioned with collectives over the mesh — the whole-solve analog of
+    ``Context::EnsureMinimumThreads`` + ``ParallelFor``.
+    """
+    n = mesh.shape[axis_name]
+    program.families = [
+        _shard_family(pad_family(f, n), mesh, axis_name)
+        for f in program.families
+    ]
+    program.mesh = mesh
+    program.mesh_axis = axis_name
+    # Invalidate any cached Schur structure built on unpadded batches.
+    if hasattr(program, "_schur_structure"):
+        del program._schur_structure
+    return program

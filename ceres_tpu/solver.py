@@ -269,6 +269,13 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     )
     summary.linear_solver_type_used = resolved.linear_solver_type
 
+    if options.mesh is not None:
+        # Shard residual families over the mesh — the TPU analog of
+        # context()->EnsureMinimumThreads (solver.cc:787).
+        from ceres_tpu.parallel import shard_program
+
+        shard_program(program, options.mesh)
+
     if options.check_gradients:
         from ceres_tpu.gradient_checker import check_problem_gradients
 
@@ -285,6 +292,10 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     # Minimize.
     min_t0 = time.time()
     x0 = program.initial_ambient()
+    if options.mesh is not None:
+        from ceres_tpu.parallel import replicate
+
+        x0 = replicate(x0, options.mesh)
     if options.minimizer_type == MinimizerType.TRUST_REGION:
         from ceres_tpu.trust_region import TrustRegionMinimizer
 
