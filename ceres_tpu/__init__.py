@@ -76,6 +76,17 @@ from ceres_tpu.gradient_problem import (  # noqa: E402
 )
 from ceres_tpu.covariance import Covariance, CovarianceOptions  # noqa: E402
 from ceres_tpu.tiny_solver import TinySolver, tiny_solve  # noqa: E402
+from ceres_tpu.numeric_diff import (  # noqa: E402
+    NumericDiffOptions,
+    numeric_diff,
+    numeric_diff_jacobian,
+)
+from ceres_tpu.interpolation import (  # noqa: E402
+    BiCubicInterpolator,
+    CubicInterpolator,
+    Grid1D,
+    Grid2D,
+)
 
 __version__ = "0.1.0"
 
@@ -91,6 +102,13 @@ __all__ = [
     "CovarianceOptions",
     "TinySolver",
     "tiny_solve",
+    "NumericDiffOptions",
+    "numeric_diff",
+    "numeric_diff_jacobian",
+    "CubicInterpolator",
+    "BiCubicInterpolator",
+    "Grid1D",
+    "Grid2D",
     "loss",
     "manifold",
     "rotation",

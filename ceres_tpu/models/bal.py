@@ -128,16 +128,27 @@ def synthesize_bal(
         cameras[c, 7] = 1e-7 * rng.standard_normal()
         cameras[c, 8] = 1e-13 * rng.standard_normal()
 
-    obs_per_point = max(2, num_observations // num_points)
-    cam_idx = []
-    pt_idx = []
-    for p in range(num_points):
-        seen = rng.choice(num_cameras, size=min(obs_per_point, num_cameras), replace=False)
-        for c in seen:
-            cam_idx.append(c)
-            pt_idx.append(p)
-    cam_idx = np.asarray(cam_idx[:num_observations], dtype=np.int64)
-    pt_idx = np.asarray(pt_idx[:num_observations], dtype=np.int64)
+    # Per-point camera counts: base m everywhere, +1 for the first `extra`
+    # points so the total matches num_observations exactly (the reference
+    # instance has 83718 obs for 22106 points: mixed 3s and 4s).
+    m = min(max(2, num_observations // num_points), num_cameras)
+    extra = min(
+        max(0, num_observations - m * num_points), num_points
+    ) if m < num_cameras else 0
+    # distinct random cameras per point, vectorized: top-k of a random
+    # key matrix per row.
+    keys = rng.random((num_points, num_cameras))
+    seen = np.argsort(keys, axis=1)  # (P, C) random permutations
+    counts = np.full(num_points, m, dtype=np.int64)
+    counts[:extra] += 1
+    pt_idx = np.repeat(np.arange(num_points, dtype=np.int64), counts)
+    # Within-point column index 0..count-1, vectorized.
+    ends = np.cumsum(counts)
+    col = np.arange(ends[-1], dtype=np.int64) - np.repeat(
+        ends - counts, counts
+    )
+    cam_idx = seen[pt_idx, col][:num_observations].astype(np.int64)
+    pt_idx = pt_idx[:num_observations]
 
     # True projections + noise.
     obs = np.array(

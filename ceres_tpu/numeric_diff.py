@@ -1,0 +1,174 @@
+"""Numeric differentiation of residual functions.
+
+TPU-native analog of ``include/ceres/numeric_diff_cost_function.h`` /
+``internal/numeric_diff.h:109-245`` (forward, central and Ridders'
+adaptive polynomial-extrapolation differences) and
+``numeric_diff_options.h``.
+
+Design: instead of a wrapper class that fills Jacobian pointers, numeric
+differentiation is a **function transform**: ``numeric_diff(fn, ...)``
+returns a function with identical signature whose JVP is defined by
+finite differences (``jax.custom_jvp``). The standard evaluator then
+produces finite-difference Jacobians through the exact same
+``vmap(jacfwd(...))`` path it uses for analytic autodiff — numeric diff
+composes with manifolds, losses, vmap and jit for free. Directional
+differences cost one or two extra function evaluations per tangent
+direction, matching the reference's per-column evaluation count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ceres_tpu.types import NumericDiffMethodType
+
+
+class NumericDiffOptions:
+    """Analog of ceres::NumericDiffOptions (numeric_diff_options.h)."""
+
+    def __init__(
+        self,
+        relative_step_size: float = 1e-6,
+        ridders_relative_initial_step_size: float = 1e-2,
+        max_num_ridders_extrapolations: int = 10,
+        ridders_epsilon: float = 1e-12,
+        ridders_step_shrink_factor: float = 2.0,
+    ):
+        self.relative_step_size = relative_step_size
+        self.ridders_relative_initial_step_size = (
+            ridders_relative_initial_step_size
+        )
+        self.max_num_ridders_extrapolations = max_num_ridders_extrapolations
+        self.ridders_epsilon = ridders_epsilon
+        self.ridders_step_shrink_factor = ridders_step_shrink_factor
+
+
+def _flat_call(fn, args):
+    return fn(*args)
+
+
+def numeric_diff(
+    fn: Callable,
+    method: NumericDiffMethodType = NumericDiffMethodType.CENTRAL,
+    options: NumericDiffOptions | None = None,
+) -> Callable:
+    """Wrap a residual function so its derivatives come from finite
+    differences (all positional args are differentiated; pass data through
+    a closure or the trailing ``data`` argument of the Problem API, which
+    arrives as a pytree and is treated as constant).
+
+    The directional derivative along tangent v is computed as
+    f(x + h v̂) versus f(x) (FORWARD), f(x ± h v̂) (CENTRAL), or Ridders'
+    extrapolation over shrinking h (RIDDERS, numeric_diff.h:175-245),
+    with h = relative_step_size * max(|x|, 1) along the direction —
+    mirroring the reference's per-parameter step choice
+    (numeric_diff.h:130-139) generalized to directions.
+    """
+    opts = options or NumericDiffOptions()
+
+    @jax.custom_jvp
+    def wrapped(*args):
+        return fn(*args)
+
+    @wrapped.defjvp
+    def _jvp(primals, tangents):
+        y0 = fn(*primals)
+        # Args may be pytrees (e.g. the batched data tuple); differentiate
+        # only float leaves with live tangents (data arrives with
+        # zero/float0 tangents and stays constant).
+        p_leaves, treedef = jax.tree_util.tree_flatten(primals)
+        t_leaves = jax.tree_util.tree_leaves(tangents)
+
+        def active(t):
+            return (
+                hasattr(t, "dtype") and t.dtype != jax.dtypes.float0
+            )
+
+        vnorm = jnp.sqrt(
+            sum(jnp.sum(t * t) for t in t_leaves if active(t))
+        )
+        safe = jnp.maximum(vnorm, 1e-300)
+        # Step scale: relative to max(|x|, 1) over the perturbed leaves
+        # (numeric_diff.h:133 generalized to directions).
+        xnorm = jnp.sqrt(
+            sum(
+                jnp.sum(jnp.where(jnp.abs(t) > 0, p * p, 0.0))
+                for p, t in zip(p_leaves, t_leaves)
+                if active(t)
+            )
+        )
+        scale = jnp.maximum(xnorm, 1.0)
+
+        def at(h):
+            new_leaves = [
+                p + h * (t / safe) if active(t) else p
+                for p, t in zip(p_leaves, t_leaves)
+            ]
+            return fn(*jax.tree_util.tree_unflatten(treedef, new_leaves))
+
+        if method == NumericDiffMethodType.FORWARD:
+            h = opts.relative_step_size * scale
+            dydv = (at(h) - y0) / h
+        elif method == NumericDiffMethodType.CENTRAL:
+            h = opts.relative_step_size * scale
+            dydv = (at(h) - at(-h)) / (2.0 * h)
+        elif method == NumericDiffMethodType.RIDDERS:
+            h = opts.ridders_relative_initial_step_size * scale
+            dydv = _ridders(at, h, opts)
+        else:
+            raise ValueError(f"unknown numeric diff method {method}")
+        return y0, dydv * vnorm
+
+    return wrapped
+
+
+def _ridders(at: Callable, h0: jax.Array, opts: NumericDiffOptions):
+    """Ridders' method: central differences at geometrically shrinking
+    steps + Neville polynomial extrapolation to h -> 0
+    (numeric_diff.h:175-245, Ridders 1982). Unrolled to the configured
+    max extrapolations; the best (lowest-error) entry is selected with
+    jnp.where so the computation stays jit-compatible."""
+    shrink = opts.ridders_step_shrink_factor
+    n = opts.max_num_ridders_extrapolations
+
+    # Tableau row 0: central differences at h0 / shrink^k.
+    h = h0
+    current = (at(h) - at(-h)) / (2.0 * h)
+    best = current
+    best_err = jnp.asarray(jnp.inf, current.dtype)
+
+    prev_row = [current]
+    for k in range(1, n):
+        h = h / shrink
+        row = [(at(h) - at(-h)) / (2.0 * h)]
+        fac = shrink * shrink
+        for m in range(1, k + 1):
+            extrapolated = (fac * row[m - 1] - prev_row[m - 1]) / (fac - 1.0)
+            fac = fac * shrink * shrink
+            err = jnp.maximum(
+                jnp.max(jnp.abs(extrapolated - row[m - 1])),
+                jnp.max(jnp.abs(extrapolated - prev_row[m - 1])),
+            )
+            take = err < best_err
+            best = jnp.where(take, extrapolated, best)
+            best_err = jnp.where(take, err, best_err)
+            row.append(extrapolated)
+        prev_row = row
+    return best
+
+
+def numeric_diff_jacobian(
+    fn: Callable,
+    x,
+    method: NumericDiffMethodType = NumericDiffMethodType.CENTRAL,
+    options: NumericDiffOptions | None = None,
+):
+    """Dense finite-difference Jacobian of fn at x (1-D array input) —
+    the building block the gradient checker uses
+    (gradient_checker.h:66)."""
+    nd = numeric_diff(fn, method, options)
+    return jax.jacfwd(nd)(x)

@@ -67,6 +67,22 @@ class _ResidualBlockRec:
     removed: bool = False
 
 
+@dataclasses.dataclass
+class _ResidualBatchRec:
+    """One bulk add_residual_blocks call: B residual blocks stored as
+    arrays instead of B Python records — the construction-side fast path
+    that makes 100k-block problems build in milliseconds (the reference
+    pays per-block heap allocations, problem_impl.cc AddResidualBlock).
+    """
+
+    rid_base: int
+    fn: Callable
+    loss: Optional[LossFunction]
+    cols: np.ndarray  # (B, k) parameter block ids
+    data: Any  # batched pytree (leading axis B)
+    removed: np.ndarray  # (B,) bool mask
+
+
 def _loss_structure(loss: Optional[LossFunction]):
     """Losses with identical pytree structure can share a family."""
     if loss is None:
@@ -86,6 +102,10 @@ class Problem:
     def __init__(self):
         self._param_blocks: List[_ParameterBlockRec] = []
         self._residual_blocks: List[_ResidualBlockRec] = []
+        self._residual_batches: List[_ResidualBatchRec] = []
+        self._next_rid = 0
+        # rid -> ('s', index into _residual_blocks) | ('b', batch, row)
+        self._rid_index: Dict[int, Tuple] = {}
         self._program_cache = None
 
     # -- parameter blocks ---------------------------------------------------
@@ -202,6 +222,8 @@ class Problem:
         for rb in self._residual_blocks:
             if not rb.removed and pid in rb.param_ids:
                 rb.removed = True
+        for batch in self._residual_batches:
+            batch.removed |= (batch.cols == pid).any(axis=1)
         self._dirty()
 
     # -- residual blocks ----------------------------------------------------
@@ -221,7 +243,9 @@ class Problem:
         pids = tuple(int(p) for p in np.atleast_1d(np.asarray(param_ids)).ravel())
         for p in pids:
             self._pb(p)  # validate
-        rid = len(self._residual_blocks)
+        rid = self._next_rid
+        self._next_rid += 1
+        self._rid_index[rid] = ("s", len(self._residual_blocks))
         self._residual_blocks.append(_ResidualBlockRec(rid, fn, loss, pids, data))
         self._dirty()
         return rid
@@ -241,24 +265,61 @@ class Problem:
         for c in cols:
             if c.shape[0] != B:
                 raise ValueError("param id arrays must have equal length")
-        ids = np.empty(B, dtype=np.int64)
-        base = len(self._residual_blocks)
-        for i in range(B):
-            inst_data = (
-                None
+        cols = np.stack(cols, axis=1)  # (B, k)
+
+        # Vectorized validation: ids in range, blocks live, and each column
+        # structurally uniform (size + manifold) so one family can hold it.
+        if cols.size:
+            if cols.min() < 0 or cols.max() >= len(self._param_blocks):
+                raise KeyError("parameter block id out of range")
+            for j in range(cols.shape[1]):
+                col = cols[:, j]
+                first = self._pb(int(col[0]))
+                sizes = {self._param_blocks[int(p)].size for p in np.unique(col)}
+                if len(sizes) != 1:
+                    raise ValueError(
+                        f"argument {j}: mixed block sizes {sizes} in one "
+                        "add_residual_blocks call; split into separate calls"
+                    )
+                mans = {
+                    id(self._param_blocks[int(p)].manifold)
+                    for p in np.unique(col)
+                }
+                if len(mans) != 1:
+                    raise ValueError(
+                        f"argument {j}: blocks with different manifolds in "
+                        "one add_residual_blocks call"
+                    )
+                for p in np.unique(col):
+                    self._pb(int(p))  # raises if removed
+
+        base = self._next_rid
+        self._next_rid += B
+        bi = len(self._residual_batches)
+        self._residual_batches.append(
+            _ResidualBatchRec(
+                rid_base=base,
+                fn=fn,
+                loss=loss,
+                cols=cols,
+                data=None
                 if data is None
-                else jax.tree_util.tree_map(lambda leaf: np.asarray(leaf)[i], data)
+                else jax.tree_util.tree_map(np.asarray, data),
+                removed=np.zeros(B, dtype=bool),
             )
-            pids = tuple(int(c[i]) for c in cols)
-            self._residual_blocks.append(
-                _ResidualBlockRec(base + i, fn, loss, pids, inst_data)
-            )
-            ids[i] = base + i
+        )
+        ids = base + np.arange(B, dtype=np.int64)
+        for i in range(B):
+            self._rid_index[base + i] = ("b", bi, i)
         self._dirty()
         return ids
 
     def remove_residual_block(self, rid: int) -> None:
-        self._residual_blocks[rid].removed = True
+        kind = self._rid_index[int(rid)]
+        if kind[0] == "s":
+            self._residual_blocks[kind[1]].removed = True
+        else:
+            self._residual_batches[kind[1]].removed[kind[2]] = True
         self._dirty()
 
     # -- introspection ------------------------------------------------------
@@ -270,7 +331,9 @@ class Problem:
         return sum(p.size for p in self._param_blocks if not p.removed)
 
     def num_residual_blocks(self) -> int:
-        return sum(1 for r in self._residual_blocks if not r.removed)
+        return sum(1 for r in self._residual_blocks if not r.removed) + sum(
+            int((~b.removed).sum()) for b in self._residual_batches
+        )
 
     def num_residuals(self) -> int:
         prog = self.program()
@@ -632,6 +695,86 @@ class Program:
                     data=data,
                     residual_ids=np.asarray([rb.rid for rb in rbs]),
                     block_ids=np.asarray([rb.param_ids for rb in rbs]),
+                    bd_pos=tuple(bd_pos),
+                )
+            )
+
+        # Vectorized path for bulk add_residual_blocks batches: index
+        # construction is numpy array arithmetic over (B, k) id matrices —
+        # no per-block Python work (the whole point of the batch API).
+        if self._problem._residual_batches:
+            n_pid = len(pblocks)
+            amb_off = np.full(n_pid, -1, dtype=np.int64)
+            tan_off = np.full(n_pid, -1, dtype=np.int64)
+            const_by_pid = np.zeros(n_pid, dtype=bool)
+            bd_row = np.zeros(n_pid, dtype=np.int64)
+            for rec in self.blocks:
+                amb_off[rec.pid] = self.ambient_offset[rec.pid]
+                const_by_pid[rec.pid] = rec.constant
+                if not rec.constant:
+                    tan_off[rec.pid] = self.tangent_offset[rec.pid]
+                    bd_row[rec.pid] = self.bd_pos_of_pid[rec.pid][1]
+
+        for batch in self._problem._residual_batches:
+            keep = ~batch.removed
+            if not keep.any():
+                continue
+            cols = batch.cols[keep]
+            B, k = cols.shape
+            sizes = tuple(pblocks[int(cols[0, j])].size for j in range(k))
+            manifolds = tuple(
+                pblocks[int(cols[0, j])].manifold for j in range(k)
+            )
+            tangent_sizes = tuple(
+                (m.tangent_size if m is not None else s)
+                for s, m in zip(sizes, manifolds)
+            )
+            amb_idx, tan_idx, bd_pos = [], [], []
+            for j in range(k):
+                col = cols[:, j]
+                aj = amb_off[col][:, None] + np.arange(sizes[j], dtype=np.int64)
+                cj = const_by_pid[col]
+                T = tangent_sizes[j]
+                tj = np.where(
+                    cj[:, None],
+                    self.num_tangent,
+                    tan_off[col][:, None] + np.arange(T, dtype=np.int64),
+                )
+                dummy = self.bd_groups.get(T, np.zeros((0, T))).shape[0]
+                pj = np.where(cj, dummy, bd_row[col])
+                amb_idx.append(jnp.asarray(aj.astype(np.int32)))
+                tan_idx.append(jnp.asarray(tj.astype(np.int32)))
+                bd_pos.append(jnp.asarray(pj.astype(np.int32)))
+
+            if batch.data is None:
+                data = None
+            elif keep.all():
+                data = jax.tree_util.tree_map(jnp.asarray, batch.data)
+            else:
+                data = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a[keep]), batch.data
+                )
+
+            residual_size = self._infer_residual_size(batch.fn, sizes, data)
+            structure = FamilyStructure(
+                fn=batch.fn,
+                residual_size=residual_size,
+                block_sizes=sizes,
+                tangent_sizes=tangent_sizes,
+                manifolds=manifolds,
+                has_data=data is not None,
+                loss_struct=_loss_structure(batch.loss),
+            )
+            families.append(
+                Family(
+                    structure=structure,
+                    loss=batch.loss,
+                    batch=B,
+                    ambient_idx=tuple(amb_idx),
+                    tangent_idx=tuple(tan_idx),
+                    data=data,
+                    residual_ids=batch.rid_base + np.nonzero(keep)[0],
+                    block_ids=cols,
                     bd_pos=tuple(bd_pos),
                 )
             )

@@ -133,13 +133,11 @@ class LevenbergMarquardtStrategy:
     step_is_invalid = step_rejected
 
 
-def _make_lm_step_fn(options, program: Program):
-    """Build the jitted 'compute one LM step' kernel for the configured
-    linear solver. Returns f(ctx, radius) -> (step, model_cost_change,
-    linear_iterations)."""
+def _make_linear_solve(options, program: Program):
+    """Build the linear-solve closure for the configured solver type:
+    f(ctx, D) -> (y, lin_iters) minimizing ||J y - f||^2 + ||D y||^2.
+    The analog of LinearSolver::Solve dispatch (linear_solver.cc:75)."""
     lst = options.linear_solver_type
-    min_d = options.min_lm_diagonal
-    max_d = options.max_lm_diagonal
     bd_groups = {T: jnp.asarray(idx) for T, idx in program.bd_groups.items()}
 
     # The Schur elimination structure must be built eagerly (host-side
@@ -204,6 +202,17 @@ def _make_lm_step_fn(options, program: Program):
             return res.x, res.num_iterations
         raise ValueError(f"unsupported linear solver {lst}")
 
+    return linear_solve
+
+
+def _make_lm_step_fn(options, program: Program):
+    """Build the jitted 'compute one LM step' kernel for the configured
+    linear solver. Returns f(ctx, radius) -> (step, model_cost_change,
+    linear_iterations)."""
+    min_d = options.min_lm_diagonal
+    max_d = options.max_lm_diagonal
+    linear_solve = _make_linear_solve(options, program)
+
     @jax.jit
     def step_fn(ctx: JacobianContext, radius: jax.Array):
         # levenberg_marquardt_strategy.cc:78-95: D = sqrt(clamped diag/radius)
@@ -226,11 +235,24 @@ class TrustRegionMinimizer:
     """The outer loop (trust_region_minimizer.cc:68-136)."""
 
     def __init__(self, program: Program, options, summary):
+        from ceres_tpu.types import TrustRegionStrategyType
+
         self.program = program
         self.options = options
         self.summary = summary
         self.evaluator = Evaluator(program)
-        self.step_fn = _make_lm_step_fn(options, program)
+        self.use_dogleg = (
+            options.trust_region_strategy_type
+            == TrustRegionStrategyType.DOGLEG
+        )
+        if self.use_dogleg:
+            from ceres_tpu.dogleg import DoglegStrategy
+
+            self._dogleg = DoglegStrategy(
+                options, _make_linear_solve(options, program)
+            )
+        else:
+            self.step_fn = _make_lm_step_fn(options, program)
         self._plus = jax.jit(program.plus)
         self._scale_columns = jax.jit(lambda ctx, s: ctx.scale_columns(s))
 
@@ -241,7 +263,9 @@ class TrustRegionMinimizer:
         start_time = time.time()
 
         x = program.clamp(x0)
-        strategy = LevenbergMarquardtStrategy(opts)
+        strategy = self._dogleg if self.use_dogleg else (
+            LevenbergMarquardtStrategy(opts)
+        )
 
         # Iteration zero (trust_region_minimizer.cc:196-283).
         full = self.evaluator.cost_gradient_jacobian(x)
@@ -310,14 +334,21 @@ class TrustRegionMinimizer:
                 if jacobi_scaling is not None
                 else ctx
             )
-            step_scaled, model_cost_change, lin_iters = self.step_fn(
-                ctx_used, jnp.asarray(strategy.radius, jnp.float64)
-            )
+            if self.use_dogleg:
+                step_scaled, model_cost_change, lin_iters = (
+                    strategy.compute_step(ctx_used)
+                )
+            else:
+                step_scaled, model_cost_change, lin_iters = self.step_fn(
+                    ctx_used, jnp.asarray(strategy.radius, jnp.float64)
+                )
             model_cost_change = float(model_cost_change)
             it.linear_solver_iterations = int(lin_iters)
             it.step_solver_time_in_seconds = time.time() - solver_t0
-            it.step_is_valid = np.isfinite(model_cost_change) and (
-                model_cost_change > 0.0
+            it.step_is_valid = (
+                step_scaled is not None
+                and np.isfinite(model_cost_change)
+                and model_cost_change > 0.0
             )
 
             if not it.step_is_valid:
