@@ -108,6 +108,13 @@ def synthesize_bal(
     """
     rng = np.random.default_rng(seed)
     points = rng.standard_normal((num_points, 3)) * np.array([4.0, 4.0, 1.0])
+    # Keep the cloud inside a ball of radius 6: cameras sit at |pos|~13.4,
+    # so every point stays well in front of every camera (depth >= ~7).
+    # Gaussian tails otherwise put a handful of the 22k points at depth
+    # ~0, exploding the initial cost to 1e17 (real BAL data has no such
+    # degenerate points).
+    norms = np.linalg.norm(points, axis=1, keepdims=True)
+    points *= np.minimum(1.0, 6.0 / np.maximum(norms, 1e-9))
 
     cameras = np.zeros((num_cameras, 9))
     for c in range(num_cameras):

@@ -256,6 +256,17 @@ class TrustRegionMinimizer:
         self._plus = jax.jit(program.plus)
         self._scale_columns = jax.jit(lambda ctx, s: ctx.scale_columns(s))
 
+        # Inner iterations (solver.h:560-600, coordinate descent).
+        self.inner_minimizer = None
+        self._inner_enabled = False
+        if options.use_inner_iterations:
+            from ceres_tpu.inner_iterations import CoordinateDescentMinimizer
+
+            self.inner_minimizer = CoordinateDescentMinimizer(
+                program, options, self.evaluator
+            )
+            self._inner_enabled = True
+
     def minimize(self, x0: jax.Array):
         opts = self.options
         program = self.program
@@ -393,6 +404,31 @@ class TrustRegionMinimizer:
             candidate_cost = float(self.evaluator.cost(candidate_x))
             if not np.isfinite(candidate_cost):
                 candidate_cost = _DBL_MAX
+
+            # DoInnerIterationsIfNeeded (trust_region_minimizer.cc:509-581):
+            # polish the candidate with coordinate descent, disabling the
+            # machinery once its relative progress drops below tolerance.
+            if (
+                self._inner_enabled
+                and np.isfinite(candidate_cost)
+                and candidate_cost > 0.0
+            ):
+                inner_x, inner_cost = self.inner_minimizer.minimize(
+                    candidate_x
+                )
+                summary.num_inner_iteration_steps += 1
+                if np.isfinite(inner_cost) and inner_cost < candidate_cost:
+                    rel_progress = (
+                        candidate_cost - inner_cost
+                    ) / candidate_cost
+                    candidate_x = program.clamp(inner_x)
+                    candidate_cost = float(
+                        self.evaluator.cost(candidate_x)
+                    )
+                    if rel_progress <= opts.inner_iteration_tolerance:
+                        self._inner_enabled = False
+                else:
+                    self._inner_enabled = False
 
             x_norm = float(jnp.linalg.norm(x))
             it.step_norm = float(jnp.linalg.norm(x - candidate_x))
