@@ -34,7 +34,7 @@ class DoglegStrategy:
     """Host state machine + jitted kernels. Interface mirrors
     LevenbergMarquardtStrategy plus compute_step()."""
 
-    def __init__(self, options, linear_solve):
+    def __init__(self, options, linear_solve, solve_aux=None):
         self.options = options
         self.radius = options.initial_trust_region_radius
         self.max_radius = options.max_trust_region_radius
@@ -43,10 +43,11 @@ class DoglegStrategy:
         self.dogleg_type = options.dogleg_type
         self.dogleg_step_norm = 0.0
         self._cache = None  # (ctx, diagonal, gradient, alpha, gn_step)
+        self._solve_aux = solve_aux
         min_d, max_d = options.min_lm_diagonal, options.max_lm_diagonal
 
         @jax.jit
-        def precompute(ctx: JacobianContext, mu: jax.Array):
+        def precompute(ctx: JacobianContext, mu: jax.Array, solve_aux):
             """diag scaling, scaled gradient, Cauchy alpha, scaled GN step
             (dogleg_strategy.cc:120-134, 176-195, ComputeGaussNewtonStep)."""
             diagonal = jnp.sqrt(
@@ -58,7 +59,7 @@ class DoglegStrategy:
             alpha = jnp.sum(gradient * gradient) / jg_sq
             # Regularized GN solve with D = diagonal * sqrt(mu)
             # (dogleg_strategy.cc:560-568).
-            y, lin_iters = linear_solve(ctx, diagonal * jnp.sqrt(mu))
+            y, lin_iters = linear_solve(ctx, diagonal * jnp.sqrt(mu), solve_aux)
             gn_step = -diagonal * y  # scaled space
             return diagonal, gradient, alpha, gn_step, lin_iters
 
@@ -133,7 +134,7 @@ class DoglegStrategy:
             # (ComputeGaussNewtonStep, dogleg_strategy.cc:676-601).
             while True:
                 diagonal, gradient, alpha, gn_step, li = self._precompute(
-                    ctx, jnp.asarray(self.mu, jnp.float64)
+                    ctx, jnp.asarray(self.mu, jnp.float64), self._solve_aux
                 )
                 lin_iters = int(li)
                 if bool(jnp.all(jnp.isfinite(gn_step))):

@@ -371,10 +371,10 @@ class Evaluator:
             grad = ctx.gradient()
             return cost, grad, ctx
 
-        plus = program.plus
+        from ceres_tpu.problem import plus_apply
 
         @jax.jit
-        def _cost_grad(x, families):
+        def _cost_grad(x, families, plus_struct):
             # Reverse-mode gradient in the tangent space: differentiate
             # cost(plus(x, delta)) at delta = 0. Equivalent to rho' J^T r
             # (the reference assembles this from block jacobians,
@@ -382,7 +382,7 @@ class Evaluator:
             # no Jacobian materialization — the right trade for LBFGS/CG
             # line-search minimizers.
             def cost_of_delta(delta):
-                return _cost(plus(x, delta), families)
+                return _cost(plus_apply(plus_struct, x, delta), families)
 
             zero = jnp.zeros((self._num_tangent,), dtype=x.dtype)
             return jax.value_and_grad(cost_of_delta)(zero)
@@ -400,7 +400,7 @@ class Evaluator:
 
     def cost_and_gradient(self, x: jax.Array):
         """(cost, tangent gradient) without forming the Jacobian."""
-        return self._cost_grad_fn(x, self._families)
+        return self._cost_grad_fn(x, self._families, self.program.plus_struct)
 
     def cost_gradient_jacobian(self, x: jax.Array) -> FullEval:
         cost, grad, ctx = self._full_fn(x, self._families)

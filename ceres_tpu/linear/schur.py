@@ -77,7 +77,12 @@ def compute_schur_ordering(program) -> List[int]:
 
 @dataclasses.dataclass
 class SchurStructure:
-    """Static index structure for Schur elimination (host-built once)."""
+    """Index structure for Schur elimination (host-built once).
+
+    Registered as a pytree and passed through jit as an ARGUMENT, never
+    captured in closures: embedding these (P,Te)/(B,) index arrays as HLO
+    literal constants makes TPU compilation of large problems
+    pathologically slow."""
 
     num_points: int
     e_tangent_size: int
@@ -92,6 +97,13 @@ class SchurStructure:
     # family/arg positions and validity.
     f_groups: Dict[int, jax.Array]
     f_pos: Tuple[Tuple[Optional[jax.Array], ...], ...]  # [fam][arg] -> (B,)
+
+
+jax.tree_util.register_dataclass(
+    SchurStructure,
+    data_fields=["e_group", "f_mask", "f_idx", "e_pos", "f_groups", "f_pos"],
+    meta_fields=["num_points", "e_tangent_size", "e_arg"],
+)
 
 
 def build_schur_structure(program, ordering: Optional[List[int]] = None) -> SchurStructure:

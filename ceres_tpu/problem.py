@@ -83,6 +83,35 @@ class _ResidualBatchRec:
     removed: np.ndarray  # (B,) bool mask
 
 
+@dataclasses.dataclass
+class PlusStructure:
+    """Index arrays for the batched plus operator, registered as a pytree
+    so jitted code receives them as arguments (never HLO constants —
+    large embedded literals cripple TPU compile times)."""
+
+    eu_amb: jax.Array  # (nE,) ambient coords of Euclidean blocks
+    eu_tan: jax.Array  # (nE,) matching tangent coords
+    groups: Tuple[Tuple[jax.Array, jax.Array], ...]  # per-manifold (amb, tan)
+    manifolds: Tuple[Manifold, ...]  # static
+
+
+jax.tree_util.register_dataclass(
+    PlusStructure,
+    data_fields=["eu_amb", "eu_tan", "groups"],
+    meta_fields=["manifolds"],
+)
+
+
+def plus_apply(ps: PlusStructure, x: jax.Array, delta: jax.Array) -> jax.Array:
+    """x [+] delta over all active blocks (program.cc:114), pure."""
+    x_new = x.at[ps.eu_amb].add(delta[ps.eu_tan], mode="drop")
+    for m, (amb, tan) in zip(ps.manifolds, ps.groups):
+        xb = x[amb]  # (G, A)
+        db = delta[tan]  # (G, T)
+        x_new = x_new.at[amb].set(jax.vmap(m.plus)(xb, db))
+    return x_new
+
+
 def _loss_structure(loss: Optional[LossFunction]):
     """Losses with identical pytree structure can share a family."""
     if loss is None:
@@ -552,9 +581,8 @@ class Program:
             else:
                 manifold_groups.setdefault(rec.manifold, []).append((aoff, toff))
 
-        self._eu_amb = jnp.asarray(eu_amb, dtype=jnp.int32)
-        self._eu_tan = jnp.asarray(eu_tan, dtype=jnp.int32)
-        self._manifold_groups = []
+        groups = []
+        manifolds = []
         for m, offs in manifold_groups.items():
             A, T = m.ambient_size, m.tangent_size
             amb = jnp.asarray(
@@ -563,16 +591,22 @@ class Program:
             tan = jnp.asarray(
                 [[t + i for i in range(T)] for _, t in offs], dtype=jnp.int32
             )
-            self._manifold_groups.append((m, amb, tan))
+            groups.append((amb, tan))
+            manifolds.append(m)
+        self.plus_struct = PlusStructure(
+            eu_amb=jnp.asarray(eu_amb, dtype=jnp.int32),
+            eu_tan=jnp.asarray(eu_tan, dtype=jnp.int32),
+            groups=tuple(groups),
+            manifolds=tuple(manifolds),
+        )
 
     def plus(self, x: jax.Array, delta: jax.Array) -> jax.Array:
-        """x_new = x [+] delta: batched manifold plus over all active blocks."""
-        x_new = x.at[self._eu_amb].add(delta[self._eu_tan], mode="drop")
-        for m, amb, tan in self._manifold_groups:
-            xb = x[amb]  # (G, A)
-            db = delta[tan]  # (G, T)
-            x_new = x_new.at[amb].set(jax.vmap(m.plus)(xb, db))
-        return x_new
+        """x_new = x [+] delta: batched manifold plus over all active blocks.
+
+        Inside jit, prefer ``plus_apply(program.plus_struct, x, delta)``
+        with the struct passed as an argument — this convenience form
+        captures the index arrays as constants."""
+        return plus_apply(self.plus_struct, x, delta)
 
     # -- families -----------------------------------------------------------
 

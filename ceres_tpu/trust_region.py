@@ -134,16 +134,23 @@ class LevenbergMarquardtStrategy:
 
 
 def _make_linear_solve(options, program: Program):
-    """Build the linear-solve closure for the configured solver type:
-    f(ctx, D) -> (y, lin_iters) minimizing ||J y - f||^2 + ||D y||^2.
-    The analog of LinearSolver::Solve dispatch (linear_solver.cc:75)."""
+    """Build the linear-solve function for the configured solver type:
+    f(ctx, D, solve_aux) -> (y, lin_iters) minimizing
+    ||J y - f||^2 + ||D y||^2. The analog of LinearSolver::Solve dispatch
+    (linear_solver.cc:75).
+
+    Returns (linear_solve, solve_aux): ``solve_aux`` is a pytree holding
+    the preprocessor-built index structures (block-Jacobi groups, Schur
+    elimination structure). It MUST be threaded through jit as an
+    argument — captured as closure constants, these arrays become large
+    HLO literals that blow up TPU compile times.
+    """
     lst = options.linear_solver_type
     bd_groups = {T: jnp.asarray(idx) for T, idx in program.bd_groups.items()}
 
-    # The Schur elimination structure must be built eagerly (host-side
-    # numpy) so it enters the jitted step as concrete constants — the
-    # analog of the reference doing ordering/structure work in the
-    # preprocessor (trust_region_preprocessor.cc:113-154), not the loop.
+    # Schur structure built eagerly host-side — the analog of the
+    # reference's preprocessor ordering work
+    # (trust_region_preprocessor.cc:113-154), not the loop.
     schur_structure = None
     if lst in (
         LinearSolverType.DENSE_SCHUR,
@@ -157,7 +164,10 @@ def _make_linear_solve(options, program: Program):
             schur_structure = build_schur_structure(program)
             program._schur_structure = schur_structure
 
-    def linear_solve(ctx: JacobianContext, D: jax.Array):
+    solve_aux = {"bd_groups": bd_groups, "ss": schur_structure}
+
+    def linear_solve(ctx: JacobianContext, D: jax.Array, solve_aux):
+        bd = solve_aux["bd_groups"]
         if lst == LinearSolverType.DENSE_QR:
             return solve_dense_qr(ctx, D), jnp.asarray(1, jnp.int32)
         if lst == LinearSolverType.DENSE_NORMAL_CHOLESKY:
@@ -167,7 +177,7 @@ def _make_linear_solve(options, program: Program):
                 ctx,
                 D,
                 preconditioner_type=options.preconditioner_type,
-                bd_groups=bd_groups
+                bd_groups=bd
                 if options.preconditioner_type == PreconditionerType.JACOBI
                 else None,
                 max_num_iterations=options.max_linear_solver_iterations,
@@ -183,7 +193,7 @@ def _make_linear_solve(options, program: Program):
         ):
             from ceres_tpu.linear.schur import solve_schur
 
-            return solve_schur(ctx, D, program, options, ss=schur_structure)
+            return solve_schur(ctx, D, program, options, ss=solve_aux["ss"])
         if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
             # TPU-native stand-in: exact block factorization is replaced by
             # CGNR with a block-Jacobi preconditioner driven to high
@@ -192,7 +202,7 @@ def _make_linear_solve(options, program: Program):
                 ctx,
                 D,
                 preconditioner_type=PreconditionerType.JACOBI,
-                bd_groups=bd_groups,
+                bd_groups=bd,
                 max_num_iterations=max(
                     options.max_linear_solver_iterations, program.num_tangent
                 ),
@@ -202,7 +212,7 @@ def _make_linear_solve(options, program: Program):
             return res.x, res.num_iterations
         raise ValueError(f"unsupported linear solver {lst}")
 
-    return linear_solve
+    return linear_solve, solve_aux
 
 
 def _make_lm_step_fn(options, program: Program):
@@ -211,14 +221,14 @@ def _make_lm_step_fn(options, program: Program):
     linear_iterations)."""
     min_d = options.min_lm_diagonal
     max_d = options.max_lm_diagonal
-    linear_solve = _make_linear_solve(options, program)
+    linear_solve, solve_aux = _make_linear_solve(options, program)
 
     @jax.jit
-    def step_fn(ctx: JacobianContext, radius: jax.Array):
+    def step_fn(ctx: JacobianContext, radius: jax.Array, solve_aux):
         # levenberg_marquardt_strategy.cc:78-95: D = sqrt(clamped diag/radius)
         diag = jnp.clip(ctx.squared_column_norms(), min_d, max_d)
         D = jnp.sqrt(diag / radius)
-        y, lin_iters = linear_solve(ctx, D)
+        y, lin_iters = linear_solve(ctx, D, solve_aux)
         step = -y
         # model_cost_change = -(J step)'(f + J step / 2)
         # (trust_region_minimizer.cc:424-438)
@@ -228,7 +238,7 @@ def _make_lm_step_fn(options, program: Program):
             mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
         return step, mcc, lin_iters
 
-    return step_fn
+    return lambda ctx, radius: step_fn(ctx, radius, solve_aux)
 
 
 class TrustRegionMinimizer:
@@ -248,12 +258,14 @@ class TrustRegionMinimizer:
         if self.use_dogleg:
             from ceres_tpu.dogleg import DoglegStrategy
 
-            self._dogleg = DoglegStrategy(
-                options, _make_linear_solve(options, program)
-            )
+            linear_solve, solve_aux = _make_linear_solve(options, program)
+            self._dogleg = DoglegStrategy(options, linear_solve, solve_aux)
         else:
             self.step_fn = _make_lm_step_fn(options, program)
-        self._plus = jax.jit(program.plus)
+        from ceres_tpu.problem import plus_apply
+
+        _plus_jit = jax.jit(plus_apply)
+        self._plus = lambda x, d: _plus_jit(program.plus_struct, x, d)
         self._scale_columns = jax.jit(lambda ctx, s: ctx.scale_columns(s))
 
         # Inner iterations (solver.h:560-600, coordinate descent).

@@ -107,7 +107,8 @@ def test_traditional_step_cases():
         trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
         linear_solver_type=ct.LinearSolverType.DENSE_QR,
     )
-    strat = DoglegStrategy(opts, _make_linear_solve(opts, program))
+    linear_solve, solve_aux = _make_linear_solve(opts, program)
+    strat = DoglegStrategy(opts, linear_solve, solve_aux)
 
     # Huge radius -> pure (regularized) Gauss-Newton step.
     strat.radius = 1e12
@@ -142,7 +143,7 @@ def test_radius_update_rules():
         trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
         initial_trust_region_radius=4.0,
     )
-    s = DoglegStrategy(opts, lambda ctx, D: (None, 0))
+    s = DoglegStrategy(opts, lambda ctx, D, aux: (None, 0))
     s.dogleg_step_norm = 10.0
     s.step_accepted(0.9)  # quality > 0.75 -> radius >= 3 * step_norm
     assert s.radius == 30.0
