@@ -31,7 +31,13 @@ from ceres_tpu.evaluator import Evaluator
 def compute_independent_sets(program) -> List[List[int]]:
     """Greedy coloring of the block-sharing graph → independent sets,
     largest (by block count) first. Analog of the recursive independent
-    set decomposition in coordinate_descent_minimizer.h:49-86."""
+    set decomposition in coordinate_descent_minimizer.h:49-86. Dispatches
+    to the native C++ core when available."""
+    from ceres_tpu.utils import native
+
+    nat = native.independent_sets(program)
+    if nat is not None:
+        return nat
     # adjacency via shared residual instances
     neighbors: Dict[int, set] = {}
     active = {rec.pid for rec in program.blocks if not rec.constant}

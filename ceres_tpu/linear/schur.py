@@ -47,8 +47,14 @@ def compute_schur_ordering(program) -> List[int]:
     Analog of ComputeStableSchurOrdering (parameter_block_ordering.cc):
     e-blocks must not share a residual block with each other. Visiting
     blocks with the smallest tangent size first makes BA problems pick the
-    points (3) over the cameras (9).
+    points (3) over the cameras (9). Dispatches to the native C++ core
+    (native/ceres_tpu_core.cpp schur_ordering) when available.
     """
+    from ceres_tpu.utils import native
+
+    nat = native.schur_ordering(program)
+    if nat is not None:
+        return nat
     # block -> list of (family_idx, instance) occurrences
     occurrences: Dict[int, List[Tuple[int, int]]] = {}
     for fi, fam in enumerate(program.families):

@@ -64,7 +64,19 @@ class BALProblem:
 
 
 def load_bal_file(path) -> BALProblem:
-    """Parse the BAL text format (examples/bal_problem.cc ReadFile)."""
+    """Parse the BAL text format (examples/bal_problem.cc ReadFile).
+
+    Uses the native C++ reader (native/ceres_tpu_core.cpp) when built —
+    ~20x faster on large files — with a pure-Python fallback."""
+    from ceres_tpu.utils import native
+
+    try:
+        out = native.bal_load(path)
+    except ValueError:
+        raise
+    if out is not None:
+        cameras, points, cam_idx, pt_idx, obs = out
+        return BALProblem(cameras, points, cam_idx, pt_idx, obs)
     with open(path) as f:
         tokens = f.read().split()
     it = iter(tokens)

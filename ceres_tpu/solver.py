@@ -92,6 +92,12 @@ class SolverOptions:
     use_inner_iterations: bool = False
     inner_iteration_tolerance: float = 1e-3
 
+    # Trust region problem dumps (solver.h:725-735).
+    trust_region_problem_dump_directory: str = ""
+    trust_region_minimizer_iterations_to_dump: List[int] = dataclasses.field(
+        default_factory=list
+    )
+
     # Logging / callbacks (solver.h:717-815).
     logging_type: LoggingType = LoggingType.PER_MINIMIZER_ITERATION
     minimizer_progress_to_stdout: bool = False

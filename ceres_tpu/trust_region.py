@@ -368,6 +368,30 @@ class TrustRegionMinimizer:
             model_cost_change = float(model_cost_change)
             it.linear_solver_iterations = int(lin_iters)
             it.step_solver_time_in_seconds = time.time() - solver_t0
+
+            # Problem dumps (solver.h:725-735,
+            # trust_region_minimizer.cc:386-396).
+            if (
+                opts.trust_region_problem_dump_directory
+                and it.iteration
+                in opts.trust_region_minimizer_iterations_to_dump
+            ):
+                from ceres_tpu.utils.observability import (
+                    dump_trust_region_problem,
+                )
+
+                diag = jnp.clip(
+                    ctx_used.squared_column_norms(),
+                    opts.min_lm_diagonal,
+                    opts.max_lm_diagonal,
+                )
+                dump_trust_region_problem(
+                    f"{opts.trust_region_problem_dump_directory}/lm_problem",
+                    it.iteration,
+                    ctx_used,
+                    jnp.sqrt(diag / strategy.radius),
+                    step_scaled,
+                )
             it.step_is_valid = (
                 step_scaled is not None
                 and np.isfinite(model_cost_change)

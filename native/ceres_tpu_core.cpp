@@ -1,0 +1,280 @@
+// Native runtime core for ceres_tpu: fast problem IO and host-side
+// preprocessor graph algorithms.
+//
+// TPU-native counterpart of the reference's native runtime layer: the
+// orderings in internal/ceres/parameter_block_ordering.cc (greedy maximal
+// independent set for Schur elimination) and
+// internal/ceres/coordinate_descent_minimizer.cc (independent-set
+// decomposition), plus the BAL text loader (examples/bal_problem.cc
+// ReadFile). These run on the host CPU in the preprocessing phase; the
+// compute path stays in XLA. Exposed through a plain C ABI consumed via
+// ctypes (no pybind11 in this environment).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libceres_tpu_core.so
+//        ceres_tpu_core.cpp
+
+#include <algorithm>
+#include <cstdint>
+#include <functional>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BAL text parsing (examples/bal_problem.cc ReadFile)
+// ---------------------------------------------------------------------------
+
+// Pass 1: read header. Returns 0 on success.
+int bal_read_header(const char* path, int64_t* num_cameras,
+                    int64_t* num_points, int64_t* num_observations) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return 1;
+  long long c, p, o;
+  int got = std::fscanf(f, "%lld %lld %lld", &c, &p, &o);
+  std::fclose(f);
+  if (got != 3) return 2;
+  *num_cameras = c;
+  *num_points = p;
+  *num_observations = o;
+  return 0;
+}
+
+// Pass 2: fill caller-allocated arrays:
+//   camera_index (O,), point_index (O,), observations (O*2,),
+//   cameras (C*9,), points (P*3,)
+int bal_read_body(const char* path, int64_t* camera_index,
+                  int64_t* point_index, double* observations, double* cameras,
+                  double* points) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return 1;
+  long long C, P, O;
+  if (std::fscanf(f, "%lld %lld %lld", &C, &P, &O) != 3) {
+    std::fclose(f);
+    return 2;
+  }
+  for (long long i = 0; i < O; ++i) {
+    long long ci, pi;
+    double x, y;
+    if (std::fscanf(f, "%lld %lld %lf %lf", &ci, &pi, &x, &y) != 4) {
+      std::fclose(f);
+      return 3;
+    }
+    camera_index[i] = ci;
+    point_index[i] = pi;
+    observations[2 * i] = x;
+    observations[2 * i + 1] = y;
+  }
+  for (long long i = 0; i < 9 * C; ++i) {
+    if (std::fscanf(f, "%lf", &cameras[i]) != 1) {
+      std::fclose(f);
+      return 4;
+    }
+  }
+  for (long long i = 0; i < 3 * P; ++i) {
+    if (std::fscanf(f, "%lf", &points[i]) != 1) {
+      std::fclose(f);
+      return 5;
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy maximal independent set for Schur elimination ordering
+// (parameter_block_ordering.cc ComputeStableSchurOrdering semantics:
+// visit blocks by increasing tangent size, an e-block claims all its
+// residual instances; later blocks sharing a claimed instance are f).
+// ---------------------------------------------------------------------------
+
+// Inputs:
+//   num_blocks            total parameter blocks (pids 0..num_blocks-1)
+//   tangent_size  (num_blocks,) int32; <0 => inactive (constant/removed)
+//   num_instances B
+//   k                     args per instance
+//   block_ids     (B*k,)  int32 pid per (instance, arg)
+// Output:
+//   e_blocks      (num_blocks,) int32 buffer; returns count of e-blocks.
+int64_t schur_ordering(int64_t num_blocks, const int32_t* tangent_size,
+                       int64_t num_instances, int64_t k,
+                       const int32_t* block_ids, int32_t* e_blocks) {
+  // occurrence lists: CSR of pid -> instance ids
+  std::vector<int64_t> counts(num_blocks + 1, 0);
+  const int64_t nk = num_instances * k;
+  for (int64_t i = 0; i < nk; ++i) {
+    int32_t pid = block_ids[i];
+    if (pid >= 0 && pid < num_blocks) counts[pid + 1]++;
+  }
+  std::partial_sum(counts.begin(), counts.end(), counts.begin());
+  std::vector<int64_t> occ(nk);
+  std::vector<int64_t> fill(counts.begin(), counts.end() - 1);
+  for (int64_t i = 0; i < nk; ++i) {
+    int32_t pid = block_ids[i];
+    if (pid >= 0 && pid < num_blocks) occ[fill[pid]++] = i / k;
+  }
+
+  // visit order: by (tangent_size, -degree) like the Python ordering
+  std::vector<int32_t> order;
+  order.reserve(num_blocks);
+  for (int64_t p = 0; p < num_blocks; ++p)
+    if (tangent_size[p] >= 0) order.push_back((int32_t)p);
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    int64_t da = counts[a + 1] - counts[a];
+    int64_t db = counts[b + 1] - counts[b];
+    if (tangent_size[a] != tangent_size[b])
+      return tangent_size[a] < tangent_size[b];
+    if (da != db) return da > db;
+    return a < b;
+  });
+
+  std::vector<uint8_t> instance_blocked(num_instances, 0);
+  int64_t n_e = 0;
+  for (int32_t pid : order) {
+    bool ok = true;
+    for (int64_t j = counts[pid]; j < counts[pid + 1]; ++j) {
+      if (instance_blocked[occ[j]]) {
+        ok = false;
+        break;
+      }
+    }
+    if (!ok) continue;
+    for (int64_t j = counts[pid]; j < counts[pid + 1]; ++j)
+      instance_blocked[occ[j]] = 1;
+    e_blocks[n_e++] = pid;
+  }
+  return n_e;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy graph coloring over the block-sharing graph (independent sets
+// for coordinate descent, coordinate_descent_minimizer.h:49-86).
+// color[pid] = -1 for inactive blocks; returns number of colors.
+// ---------------------------------------------------------------------------
+
+int64_t independent_set_coloring(int64_t num_blocks,
+                                 const int32_t* tangent_size,
+                                 int64_t num_instances, int64_t k,
+                                 const int32_t* block_ids, int32_t* color) {
+  // adjacency via instance co-occurrence; dedup with sort+unique
+  std::vector<std::vector<int32_t>> adj(num_blocks);
+  std::vector<int32_t> live;
+  live.reserve(k);
+  for (int64_t i = 0; i < num_instances; ++i) {
+    live.clear();
+    for (int64_t j = 0; j < k; ++j) {
+      int32_t pid = block_ids[i * k + j];
+      if (pid >= 0 && pid < num_blocks && tangent_size[pid] >= 0)
+        live.push_back(pid);
+    }
+    for (size_t a = 0; a < live.size(); ++a)
+      for (size_t b = 0; b < live.size(); ++b)
+        if (a != b) adj[live[a]].push_back(live[b]);
+  }
+  for (int64_t p = 0; p < num_blocks; ++p) {
+    auto& v = adj[p];
+    std::sort(v.begin(), v.end());
+    v.erase(std::unique(v.begin(), v.end()), v.end());
+  }
+
+  // visit high-degree first
+  std::vector<int32_t> order;
+  for (int64_t p = 0; p < num_blocks; ++p)
+    if (tangent_size[p] >= 0) order.push_back((int32_t)p);
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    if (adj[a].size() != adj[b].size()) return adj[a].size() > adj[b].size();
+    return a < b;
+  });
+
+  std::fill(color, color + num_blocks, -1);
+  int64_t ncolors = 0;
+  std::vector<uint8_t> used;
+  for (int32_t pid : order) {
+    used.assign((size_t)ncolors + 1, 0);
+    for (int32_t n : adj[pid]) {
+      int32_t c = color[n];
+      if (c >= 0 && c < (int32_t)used.size()) used[c] = 1;
+    }
+    int32_t c = 0;
+    while (c < (int32_t)used.size() && used[c]) ++c;
+    color[pid] = c;
+    if (c + 1 > ncolors) ncolors = c + 1;
+  }
+  return ncolors;
+}
+
+// ---------------------------------------------------------------------------
+// Visibility clustering (canonical views / single linkage analog used by
+// CLUSTER_JACOBI-style preconditioners, single_linkage_clustering.h:58):
+// cluster cameras by shared-point counts with a similarity threshold.
+// cameras: instance arg column holding the camera pid per observation;
+// points: column holding point pid. Output cluster id per camera pid
+// position (dense 0..num_cameras-1 indices expected).
+// ---------------------------------------------------------------------------
+
+int64_t single_linkage_cluster(int64_t num_cameras, int64_t num_points,
+                               int64_t num_obs, const int32_t* camera_index,
+                               const int32_t* point_index, double threshold,
+                               int32_t* cluster) {
+  // camera-camera similarity via shared points: build point->cameras CSR
+  std::vector<int64_t> pc(num_points + 1, 0);
+  for (int64_t i = 0; i < num_obs; ++i) pc[point_index[i] + 1]++;
+  std::partial_sum(pc.begin(), pc.end(), pc.begin());
+  std::vector<int32_t> plist(num_obs);
+  std::vector<int64_t> fill(pc.begin(), pc.end() - 1);
+  for (int64_t i = 0; i < num_obs; ++i)
+    plist[fill[point_index[i]]++] = camera_index[i];
+
+  // per-camera visibility counts
+  std::vector<int64_t> vis(num_cameras, 0);
+  for (int64_t i = 0; i < num_obs; ++i) vis[camera_index[i]]++;
+
+  // union-find
+  std::vector<int32_t> parent(num_cameras);
+  std::iota(parent.begin(), parent.end(), 0);
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+
+  // pairwise shared counts (sparse accumulation per point)
+  std::vector<std::pair<int64_t, int64_t>> edges;  // (packed pair, count)
+  // For moderate camera counts a dense matrix is fine.
+  std::vector<int64_t> shared((size_t)num_cameras * num_cameras, 0);
+  for (int64_t p = 0; p < num_points; ++p) {
+    for (int64_t a = pc[p]; a < pc[p + 1]; ++a)
+      for (int64_t b = a + 1; b < pc[p + 1]; ++b) {
+        int32_t ca = plist[a], cb = plist[b];
+        if (ca != cb) shared[(size_t)std::min(ca, cb) * num_cameras +
+                             std::max(ca, cb)]++;
+      }
+  }
+  for (int32_t a = 0; a < num_cameras; ++a)
+    for (int32_t b = a + 1; b < num_cameras; ++b) {
+      int64_t s = shared[(size_t)a * num_cameras + b];
+      if (s == 0) continue;
+      double sim = (double)s / std::min(vis[a], vis[b]);
+      if (sim >= threshold) {
+        int32_t ra = find(a), rb = find(b);
+        if (ra != rb) parent[ra] = rb;
+      }
+    }
+
+  // densify cluster ids
+  std::vector<int32_t> remap(num_cameras, -1);
+  int64_t nclusters = 0;
+  for (int32_t c = 0; c < num_cameras; ++c) {
+    int32_t r = find(c);
+    if (remap[r] < 0) remap[r] = (int32_t)nclusters++;
+    cluster[c] = remap[r];
+  }
+  return nclusters;
+}
+
+}  // extern "C"

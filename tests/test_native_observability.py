@@ -1,0 +1,174 @@
+"""Native C++ core + observability subsystem tests."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.models import bal
+from ceres_tpu.utils import native
+from ceres_tpu.utils.observability import (
+    CheckpointManager,
+    EventLogger,
+    ExecutionSummary,
+    ScopedExecutionTimer,
+    dump_trust_region_problem,
+)
+
+
+@pytest.fixture(scope="module")
+def bal_problem():
+    return bal.synthesize_bal(4, 150, 600, seed=7)
+
+
+class TestNativeCore:
+    def test_lib_builds(self):
+        assert native.get_lib() is not None
+
+    def test_bal_roundtrip(self, bal_problem, tmp_path):
+        prob = bal_problem
+        path = tmp_path / "x.bal"
+        with open(path, "w") as f:
+            f.write(
+                f"{prob.num_cameras} {prob.num_points} "
+                f"{prob.num_observations}\n"
+            )
+            for c, p, o in zip(
+                prob.camera_index, prob.point_index, prob.observations
+            ):
+                f.write(f"{c} {p} {o[0]:.17g} {o[1]:.17g}\n")
+            for cam in prob.cameras:
+                for v in cam:
+                    f.write(f"{v:.17g}\n")
+            for pt in prob.points:
+                for v in pt:
+                    f.write(f"{v:.17g}\n")
+        loaded = bal.load_bal_file(path)
+        np.testing.assert_allclose(loaded.cameras, prob.cameras)
+        np.testing.assert_allclose(loaded.points, prob.points)
+        np.testing.assert_array_equal(
+            loaded.camera_index, prob.camera_index
+        )
+
+    def test_bal_bad_file(self, tmp_path):
+        path = tmp_path / "bad.bal"
+        path.write_text("2 2\n")
+        with pytest.raises(ValueError):
+            bal.load_bal_file(path)
+
+    def test_schur_ordering_matches_mis_property(self, bal_problem):
+        p, _, _ = bal.build_problem(bal_problem)
+        prog = p.program()
+        e = native.schur_ordering(prog)
+        # every point must be chosen (points are mutually independent)
+        sizes = {rec.pid: rec.tangent_size for rec in prog.blocks}
+        assert all(sizes[pid] == 3 for pid in e)
+        assert len(e) == 150
+        # independence: no residual touches two e-blocks
+        e_set = set(e)
+        for fam in prog.families:
+            ids = np.asarray(fam.block_ids)
+            for row in ids:
+                assert sum(1 for x in row if int(x) in e_set) <= 1
+
+    def test_coloring_independence(self, bal_problem):
+        p, _, _ = bal.build_problem(bal_problem)
+        prog = p.program()
+        sets = native.independent_sets(prog)
+        for s in sets:
+            s_set = set(s)
+            for fam in prog.families:
+                ids = np.asarray(fam.block_ids)
+                for row in ids:
+                    assert (
+                        sum(1 for x in row if int(x) in s_set) <= 1
+                    ), "two same-color blocks share a residual"
+
+    def test_camera_clusters(self, bal_problem):
+        prob = bal_problem
+        nc, cl = native.camera_clusters(
+            prob.num_cameras,
+            prob.num_points,
+            prob.camera_index,
+            prob.point_index,
+            threshold=0.01,
+        )
+        assert nc >= 1 and cl.shape == (prob.num_cameras,)
+        assert cl.min() == 0 and cl.max() == nc - 1
+
+
+class TestObservability:
+    def test_event_logger(self):
+        el = EventLogger("test")
+        time.sleep(0.01)
+        el.add_event("phase1")
+        el.finish()
+        assert el.events[0][0] == "phase1"
+        assert el.events[0][1] >= 0.01
+        assert el.events[-1][0] == "total"
+
+    def test_execution_summary(self):
+        es = ExecutionSummary()
+        with ScopedExecutionTimer("Evaluator::Residual", es):
+            time.sleep(0.01)
+        with ScopedExecutionTimer("Evaluator::Residual", es):
+            pass
+        assert es.calls["Evaluator::Residual"] == 2
+        assert es.times["Evaluator::Residual"] >= 0.01
+        assert "Evaluator::Residual" in es.report()
+
+    def test_problem_dump(self, tmp_path):
+        import jax.numpy as jnp
+
+        from ceres_tpu.evaluator import Evaluator
+
+        prob = bal.synthesize_bal(2, 20, 60, seed=1)
+        p, _, _ = bal.build_problem(prob)
+        prog = p.program()
+        ev = Evaluator(prog)
+        full = ev.cost_gradient_jacobian(prog.initial_ambient())
+        path = dump_trust_region_problem(
+            str(tmp_path / "lm"), 3, full.jacobian_context,
+            jnp.ones(prog.num_tangent),
+        )
+        data = np.load(path)
+        assert data["jacobian"].shape == (
+            full.jacobian_context.num_rows,
+            prog.num_tangent,
+        )
+        assert data["rhs"].shape[0] == full.jacobian_context.num_rows
+
+    def test_dump_option_wired_into_solve(self, tmp_path):
+        prob = bal.synthesize_bal(2, 20, 60, seed=2)
+        p, _, _ = bal.build_problem(prob)
+        opts = ct.SolverOptions(
+            max_num_iterations=3,
+            trust_region_problem_dump_directory=str(tmp_path),
+            trust_region_minimizer_iterations_to_dump=[1, 2],
+        )
+        ct.solve(opts, p)
+        dumps = list(tmp_path.glob("lm_problem_*.npz"))
+        assert len(dumps) == 2
+
+    def test_checkpoint_manager(self, tmp_path):
+        prob = bal.synthesize_bal(2, 20, 60, seed=3)
+        p, _, _ = bal.build_problem(prob)
+        cm = CheckpointManager(str(tmp_path), keep=2)
+        cm.attach(p)
+        opts = ct.SolverOptions(max_num_iterations=5, callbacks=[cm.callback])
+        s = ct.solve(opts, p)
+        ck = cm.latest()
+        assert ck is not None
+        assert ck["meta"]["iteration"] >= 1
+        assert len(list(tmp_path.glob("ckpt_*.npz"))) <= 2
+
+        # restore into a fresh problem and verify values land
+        p2, _, _ = bal.build_problem(prob)
+        meta = cm.restore(p2)
+        assert meta is not None
+        pid0 = p2.parameter_block_ids()[0]
+        np.testing.assert_allclose(
+            p2.parameter_block_value(pid0), ck["blocks"][pid0]
+        )
