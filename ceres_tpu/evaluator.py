@@ -232,9 +232,13 @@ class JacobianContext:
         """g = J^T r (with corrected arrays this equals rho' J^T r)."""
         return self.rmatvec(self.residuals)
 
+    @property
+    def dtype(self):
+        return self.residuals[0].dtype if self.residuals else jnp.float64
+
     def squared_column_norms(self) -> jax.Array:
         """diag(J^T J) (BlockSparseMatrix::SquaredColumnNorm)."""
-        d = jnp.zeros((self.num_tangent,), dtype=jnp.float64)
+        d = jnp.zeros((self.num_tangent,), dtype=self.dtype)
         for fi, fam in enumerate(self.families):
             for j in range(fam.num_args):
                 contrib = jnp.sum(self.jacs[fi][j] ** 2, axis=1)  # (B, T_j)
@@ -267,7 +271,7 @@ class JacobianContext:
         ``group_sizes`` is {tangent_size: num_blocks} (Program.bd_groups).
         """
         out = {
-            T: jnp.zeros((G, T, T), dtype=jnp.float64)
+            T: jnp.zeros((G, T, T), dtype=self.dtype)
             for T, G in group_sizes.items()
         }
         for fi, fam in enumerate(self.families):
@@ -292,7 +296,7 @@ class JacobianContext:
         """Materialize the dense Jacobian (M, num_tangent) — dense solvers
         and covariance only (dense_jacobian_writer.h analog)."""
         M = self.num_rows
-        dense = jnp.zeros((M, self.num_tangent), dtype=jnp.float64)
+        dense = jnp.zeros((M, self.num_tangent), dtype=self.dtype)
         row = 0
         for fi, fam in enumerate(self.families):
             B, r = fam.batch, fam.residual_size

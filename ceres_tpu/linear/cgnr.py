@@ -32,8 +32,10 @@ def solve_cgnr(
     min_num_iterations: int = 1,
     q_tolerance: float = 0.1,
     r_tolerance: float = -1.0,
+    rhs: Optional[jax.Array] = None,
 ) -> CGResult:
-    """Returns CGResult whose .x solves min ||J y - f||^2 + ||D y||^2."""
+    """Returns CGResult whose .x solves min ||J y - f||^2 + ||D y||^2,
+    or (J'J + D'D) y = rhs when an explicit tangent rhs is given."""
 
     def operator(v):
         return ctx.normal_matvec(v) + (D * D) * v
@@ -50,7 +52,8 @@ def solve_cgnr(
             f"CGNR supports IDENTITY/JACOBI, got {preconditioner_type}"
         )
 
-    rhs = ctx.gradient()  # J'f
+    if rhs is None:
+        rhs = ctx.gradient()  # J'f
     return conjugate_gradients(
         operator,
         rhs,

@@ -137,7 +137,8 @@ def build_schur_structure(program, ordering: Optional[List[int]] = None) -> Schu
         off = program.tangent_offset[pid]
         e_group[i] = np.arange(off, off + Te, dtype=np.int32)
 
-    f_mask = np.ones(program.num_tangent)
+    eval_dtype = getattr(program, "eval_dtype", np.float64)
+    f_mask = np.ones(program.num_tangent, dtype=eval_dtype)
     f_mask[e_group.reshape(-1)] = 0.0
     f_idx = np.nonzero(f_mask > 0)[0].astype(np.int32)
 
@@ -237,7 +238,9 @@ class SchurOperator:
         Te, P = ss.e_tangent_size, ss.num_points
 
         # Assemble E'E + D_e^2 per point: (P, Te, Te), batched Cholesky.
-        ete = jnp.zeros((P, Te, Te), dtype=jnp.float64)
+        dt = ctx.residuals[0].dtype
+        self.dtype = dt
+        ete = jnp.zeros((P, Te, Te), dtype=dt)
         for fi, fam in enumerate(ctx.families):
             ea = ss.e_arg[fi]
             if ea < 0:
@@ -256,7 +259,9 @@ class SchurOperator:
     def _edot(self, w: Tuple[jax.Array, ...]) -> jax.Array:
         """E' w aggregated per point -> (P, Te)."""
         ss, ctx = self.ss, self.ctx
-        t = jnp.zeros((ss.num_points, ss.e_tangent_size), dtype=jnp.float64)
+        t = jnp.zeros(
+            (ss.num_points, ss.e_tangent_size), dtype=self.dtype
+        )
         for fi, fam in enumerate(ctx.families):
             ea = ss.e_arg[fi]
             if ea < 0:
@@ -275,7 +280,7 @@ class SchurOperator:
 
     def _embed_e(self, u: jax.Array) -> jax.Array:
         """(P, Te) point vector -> full tangent vector (zero on f)."""
-        z = jnp.zeros((self.ctx.num_tangent,), dtype=jnp.float64)
+        z = jnp.zeros((self.ctx.num_tangent,), dtype=self.dtype)
         return z.at[self.ss.e_group].set(u)
 
     # -- Schur products (implicit_schur_complement.cc:106-145) --------------
@@ -302,6 +307,26 @@ class SchurOperator:
         diff = tuple(a - b for a, b in zip(ctx.residuals, w2))
         return ctx.rmatvec(diff) * ss.f_mask
 
+    def rhs_from_tangent(self, r: jax.Array) -> jax.Array:
+        """Reduced rhs for an arbitrary tangent-space rhs r = [r_e; r_f]:
+        r_f - F'E (E'E + De^2)^{-1} r_e. Backs mixed-precision iterative
+        refinement of Schur solves."""
+        ss = self.ss
+        r_e = r[ss.e_group]  # (P, Te)
+        u = self._solve_ete(r_e)
+        w = self.ctx.matvec(self._embed_e(u))  # E u in residual space
+        corr = self.ctx.rmatvec(w)  # F'E u (+ e-part, masked below)
+        return (r - corr) * ss.f_mask
+
+    def back_substitute_tangent(self, x_f: jax.Array, r: jax.Array) -> jax.Array:
+        """e-part for arbitrary tangent rhs: y_e = (E'E+De^2)^{-1}
+        (r_e - E'F x_f)."""
+        ss = self.ss
+        x_f = x_f * ss.f_mask
+        EtFx = self._edot(self.ctx.matvec(x_f))  # (P, Te)
+        u = self._solve_ete(r[ss.e_group] - EtFx)
+        return x_f + self._embed_e(u)
+
     def back_substitute(self, x_f: jax.Array) -> jax.Array:
         """Recover e (point) part: y = (E'E)^{-1} E'(f - F x)
         (implicit_schur_complement.cc:208)."""
@@ -323,12 +348,12 @@ class SchurOperator:
         """
         ctx, ss, D = self.ctx, self.ss, self.D
         out = {
-            T: jnp.zeros((idx.shape[0], T, T), dtype=jnp.float64)
+            T: jnp.zeros((idx.shape[0], T, T), dtype=self.dtype)
             for T, idx in ss.f_groups.items()
         }
         inv_ete = jax.vmap(
             lambda c: jax.scipy.linalg.cho_solve(
-                (c, True), jnp.eye(ss.e_tangent_size, dtype=jnp.float64)
+                (c, True), jnp.eye(ss.e_tangent_size, dtype=self.dtype)
             )
         )(self._ete_chol)
         for fi, fam in enumerate(ctx.families):
@@ -407,7 +432,7 @@ class SchurOperator:
         n = self.ctx.num_tangent
 
         def col(i):
-            e = jnp.zeros((n,), dtype=jnp.float64).at[i].set(1.0)
+            e = jnp.zeros((n,), dtype=self.ctx.residuals[0].dtype).at[i].set(1.0)
             return self.s_times(e)[f_idx]
 
         S = jax.vmap(col)(f_idx).T  # columns stacked
@@ -426,6 +451,7 @@ def solve_schur(
     program,
     options,
     ss: Optional[SchurStructure] = None,
+    rhs: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve min ||J y - f||^2 + ||D y||^2 by eliminating the e-blocks.
 
@@ -442,15 +468,23 @@ def solve_schur(
 
     op = SchurOperator(ctx, D, ss)
     lst = options.linear_solver_type
+    tangent_rhs = rhs
 
     if lst in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR):
-        S, rhs, f_idx = op.dense_reduced_system()
+        S, rhs_red, f_idx = op.dense_reduced_system()
+        if tangent_rhs is not None:
+            rhs_red = op.rhs_from_tangent(tangent_rhs)[f_idx]
         chol, low = jax.scipy.linalg.cho_factor(S, lower=True)
-        xf_red = jax.scipy.linalg.cho_solve((chol, low), rhs)
-        x_f = jnp.zeros((ctx.num_tangent,), dtype=jnp.float64).at[f_idx].set(
+        xf_red = jax.scipy.linalg.cho_solve((chol, low), rhs_red)
+        x_f = jnp.zeros(
+            (ctx.num_tangent,), dtype=ctx.residuals[0].dtype
+        ).at[f_idx].set(
             xf_red
         )
-        y = op.back_substitute(x_f)
+        if tangent_rhs is not None:
+            y = op.back_substitute_tangent(x_f, tangent_rhs)
+        else:
+            y = op.back_substitute(x_f)
         return y, jnp.asarray(1, jnp.int32)
 
     # ITERATIVE_SCHUR
@@ -466,7 +500,10 @@ def solve_schur(
     else:
         M = None
 
-    rhs = op.rhs()
+    if tangent_rhs is not None:
+        rhs = op.rhs_from_tangent(tangent_rhs)
+    else:
+        rhs = op.rhs()
     res: CGResult = conjugate_gradients(
         op.s_times,
         rhs,
@@ -476,5 +513,8 @@ def solve_schur(
         q_tolerance=options.eta,
         r_tolerance=-1.0,
     )
-    y = op.back_substitute(res.x)
+    if tangent_rhs is not None:
+        y = op.back_substitute_tangent(res.x, tangent_rhs)
+    else:
+        y = op.back_substitute(res.x)
     return y, res.num_iterations

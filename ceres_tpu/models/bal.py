@@ -169,14 +169,9 @@ def synthesize_bal(
     cam_idx = seen[pt_idx, col][:num_observations].astype(np.int64)
     pt_idx = pt_idx[:num_observations]
 
-    # True projections + noise.
-    obs = np.array(
-        jax.vmap(snavely_reprojection_residual)(
-            jnp.asarray(cameras[cam_idx]),
-            jnp.asarray(points[pt_idx]),
-            jnp.zeros((cam_idx.shape[0], 2)),
-        )
-    )
+    # True projections + noise — pure numpy (data synthesis must not
+    # compile device kernels; on the TPU tunnel that costs minutes).
+    obs = _project_np(cameras[cam_idx], points[pt_idx])
     obs += noise * rng.standard_normal(obs.shape)
 
     # Perturb the initial state.
@@ -187,10 +182,50 @@ def synthesize_bal(
     return BALProblem(cameras_init, points_init, cam_idx, pt_idx, obs)
 
 
-def _rotation_matrix_to_angle_axis_np(R: np.ndarray) -> np.ndarray:
-    from ceres_tpu.rotation import rotation_matrix_to_angle_axis
+def _project_np(cams: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Vectorized numpy Snavely projection (matches
+    snavely_reprojection_residual with observed = 0)."""
+    aa = cams[:, :3]
+    theta = np.linalg.norm(aa, axis=1, keepdims=True)
+    small = theta[:, 0] < 1e-12
+    k = np.where(theta > 1e-12, aa / np.maximum(theta, 1e-300), 0.0)
+    ct_, st = np.cos(theta), np.sin(theta)
+    kxp = np.cross(k, pts)
+    kdp = np.sum(k * pts, axis=1, keepdims=True)
+    pr = pts * ct_ + kxp * st + k * kdp * (1.0 - ct_)
+    pr[small] = pts[small]
+    pc = pr + cams[:, 3:6]
+    xp = -pc[:, 0] / pc[:, 2]
+    yp = -pc[:, 1] / pc[:, 2]
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (cams[:, 7] + cams[:, 8] * r2)
+    f = cams[:, 6]
+    return np.stack([f * distortion * xp, f * distortion * yp], axis=1)
 
-    return np.asarray(rotation_matrix_to_angle_axis(jnp.asarray(R)))
+
+def _rotation_matrix_to_angle_axis_np(R: np.ndarray) -> np.ndarray:
+    """Pure-numpy conversion: data synthesis must not trigger per-camera
+    jit compiles (on the TPU tunnel each costs seconds)."""
+    # Rodrigues: theta from trace, axis from the skew part.
+    cos_t = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    if theta < 1e-12:
+        return np.zeros(3)
+    axis = np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    n = np.linalg.norm(axis)
+    if n < 1e-12:
+        # theta ~ pi: axis from diagonal
+        d = np.sqrt(np.clip((np.diag(R) + 1.0) / 2.0, 0.0, None))
+        axis = d * np.sign(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+        )
+        n = np.linalg.norm(axis)
+        if n < 1e-12:
+            axis = d
+            n = np.linalg.norm(axis)
+    return theta * axis / n
 
 
 def build_problem(

@@ -112,6 +112,33 @@ def plus_apply(ps: PlusStructure, x: jax.Array, delta: jax.Array) -> jax.Array:
     return x_new
 
 
+def cast_program(program: "Program", dtype) -> "Program":
+    """Cast a Program's evaluation arrays (family data, masks, loss
+    parameters, bounds) to ``dtype`` in place — the implementation of
+    ``SolverOptions.evaluation_dtype``. Integer index arrays are kept."""
+    dtype = jnp.dtype(dtype)
+
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.asarray(a, dtype=dtype)
+        return a
+
+    new_families = []
+    for f in program.families:
+        nf = jax.tree_util.tree_map(cast, f)
+        # tree flattening drops the host-side id arrays; keep them.
+        nf.residual_ids = f.residual_ids
+        nf.block_ids = f.block_ids
+        new_families.append(nf)
+    program.families = new_families
+    program.lower = cast(program.lower)
+    program.upper = cast(program.upper)
+    program.eval_dtype = dtype
+    if hasattr(program, "_schur_structure"):
+        del program._schur_structure  # rebuild with the new dtype
+    return program
+
+
 def _loss_structure(loss: Optional[LossFunction]):
     """Losses with identical pytree structure can share a family."""
     if loss is None:

@@ -84,6 +84,13 @@ class SolverOptions:
     use_explicit_schur_complement: bool = False
     use_mixed_precision_solves: bool = False
     max_num_refinement_iterations: int = 0
+    # Evaluation dtype policy (TPU-specific extension): None keeps the
+    # Ceres default of float64. "float32" evaluates residuals/Jacobians
+    # and runs linear solves in f32 — on TPU, f64 is software-emulated
+    # (pathological compile times and ~20x slower kernels), so large
+    # solves should use float32 + use_mixed_precision_solves, which
+    # recovers step accuracy via f64 iterative refinement.
+    evaluation_dtype: Optional[str] = None
     use_spse_initialization: bool = False
     max_num_spse_iterations: int = 5
     spse_tolerance: float = 0.1
@@ -133,6 +140,15 @@ class SolverOptions:
             return "min_lm_diagonal > max_lm_diagonal"
         if self.min_relative_decrease <= 0:
             return "min_relative_decrease must be > 0"
+        if self.evaluation_dtype is not None and self.evaluation_dtype not in (
+            "float32",
+            "float64",
+        ):
+            return (
+                "evaluation_dtype must be 'float32' or 'float64', got "
+                f"{self.evaluation_dtype!r} (lower precisions lack the "
+                "factorization kernels)"
+            )
         return None
 
     def resolved_linear_solver_type(self, problem_info) -> LinearSolverType:
@@ -275,6 +291,11 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     )
     summary.linear_solver_type_used = resolved.linear_solver_type
 
+    if options.evaluation_dtype is not None:
+        from ceres_tpu.problem import cast_program
+
+        cast_program(program, options.evaluation_dtype)
+
     if options.mesh is not None:
         # Shard residual families over the mesh — the TPU analog of
         # context()->EnsureMinimumThreads (solver.cc:787).
@@ -298,6 +319,10 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     # Minimize.
     min_t0 = time.time()
     x0 = program.initial_ambient()
+    if options.evaluation_dtype is not None:
+        import jax.numpy as jnp
+
+        x0 = x0.astype(jnp.dtype(options.evaluation_dtype))
     if options.mesh is not None:
         from ceres_tpu.parallel import replicate
 

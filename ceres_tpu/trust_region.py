@@ -166,12 +166,15 @@ def _make_linear_solve(options, program: Program):
 
     solve_aux = {"bd_groups": bd_groups, "ss": schur_structure}
 
-    def linear_solve(ctx: JacobianContext, D: jax.Array, solve_aux):
+    def linear_solve(ctx: JacobianContext, D: jax.Array, solve_aux, rhs=None):
         bd = solve_aux["bd_groups"]
         if lst == LinearSolverType.DENSE_QR:
-            return solve_dense_qr(ctx, D), jnp.asarray(1, jnp.int32)
+            return solve_dense_qr(ctx, D, rhs=rhs), jnp.asarray(1, jnp.int32)
         if lst == LinearSolverType.DENSE_NORMAL_CHOLESKY:
-            return solve_dense_normal_cholesky(ctx, D), jnp.asarray(1, jnp.int32)
+            return (
+                solve_dense_normal_cholesky(ctx, D, rhs=rhs),
+                jnp.asarray(1, jnp.int32),
+            )
         if lst == LinearSolverType.CGNR:
             res = solve_cgnr(
                 ctx,
@@ -184,6 +187,7 @@ def _make_linear_solve(options, program: Program):
                 min_num_iterations=options.min_linear_solver_iterations,
                 q_tolerance=options.eta,
                 r_tolerance=-1.0,
+                rhs=rhs,
             )
             return res.x, res.num_iterations
         if lst in (
@@ -193,7 +197,9 @@ def _make_linear_solve(options, program: Program):
         ):
             from ceres_tpu.linear.schur import solve_schur
 
-            return solve_schur(ctx, D, program, options, ss=solve_aux["ss"])
+            return solve_schur(
+                ctx, D, program, options, ss=solve_aux["ss"], rhs=rhs
+            )
         if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
             # TPU-native stand-in: exact block factorization is replaced by
             # CGNR with a block-Jacobi preconditioner driven to high
@@ -208,9 +214,56 @@ def _make_linear_solve(options, program: Program):
                 ),
                 q_tolerance=-1.0,
                 r_tolerance=1e-14,
+                rhs=rhs,
             )
             return res.x, res.num_iterations
         raise ValueError(f"unsupported linear solver {lst}")
+
+    if options.use_mixed_precision_solves:
+        inner = linear_solve
+        n_refine = max(options.max_num_refinement_iterations, 1)
+
+        def cast_tree(t, dtype):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                t,
+            )
+
+        def linear_solve(ctx: JacobianContext, D: jax.Array, solve_aux, rhs=None):
+            """Mixed precision: factor/solve in f32, accumulate and
+            iteratively refine in f64 — the TPU analog of
+            RefinedDenseCholesky / use_mixed_precision_solves
+            (dense_cholesky.h:104-246, iterative_refiner.{h,cc}). f32
+            runs on the MXU natively; f64 is emulated on TPU, so the
+            refinement loop buys back the accuracy at f32 speed.
+            """
+            ctx32 = cast_tree(ctx, jnp.float32)
+            D32 = D.astype(jnp.float32)
+            aux32 = cast_tree(solve_aux, jnp.float32)
+            # The refinement residual must be computed in HIGHER precision
+            # than the factorization (iterative_refiner.h): upcast the
+            # (f32-stored) Jacobian blocks to f64 for the matvec passes.
+            ctx64 = cast_tree(ctx, jnp.float64)
+            D64 = D.astype(jnp.float64)
+            rhs64 = (
+                ctx64.gradient() if rhs is None else rhs.astype(jnp.float64)
+            )
+            y32, lin_iters = inner(
+                ctx32, D32, aux32, rhs=rhs64.astype(jnp.float32)
+            )
+            y = y32.astype(jnp.float64)
+            total_iters = lin_iters
+            for _ in range(n_refine):
+                r = rhs64 - (ctx64.normal_matvec(y) + (D64 * D64) * y)
+                dy32, li = inner(
+                    ctx32, D32, aux32, rhs=r.astype(jnp.float32)
+                )
+                y = y + dy32.astype(jnp.float64)
+                total_iters = total_iters + li
+            return y, total_iters
 
     return linear_solve, solve_aux
 
@@ -227,9 +280,11 @@ def _make_lm_step_fn(options, program: Program):
     def step_fn(ctx: JacobianContext, radius: jax.Array, solve_aux):
         # levenberg_marquardt_strategy.cc:78-95: D = sqrt(clamped diag/radius)
         diag = jnp.clip(ctx.squared_column_norms(), min_d, max_d)
-        D = jnp.sqrt(diag / radius)
+        D = jnp.sqrt(diag / radius.astype(diag.dtype))
         y, lin_iters = linear_solve(ctx, D, solve_aux)
-        step = -y
+        # mixed-precision solves return an f64-refined y; the step is
+        # applied to the evaluation-dtype state, so cast back.
+        step = -y.astype(diag.dtype)
         # model_cost_change = -(J step)'(f + J step / 2)
         # (trust_region_minimizer.cc:424-438)
         Js = ctx.matvec(step)
