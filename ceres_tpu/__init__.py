@@ -87,6 +87,8 @@ from ceres_tpu.interpolation import (  # noqa: E402
     Grid1D,
     Grid2D,
 )
+from ceres_tpu import cost_functions  # noqa: E402
+from ceres_tpu.cost_functions import EvaluationCallback  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -109,6 +111,8 @@ __all__ = [
     "BiCubicInterpolator",
     "Grid1D",
     "Grid2D",
+    "cost_functions",
+    "EvaluationCallback",
     "loss",
     "manifold",
     "rotation",

@@ -322,93 +322,131 @@ class Evaluator:
     Analog of Evaluator (evaluator.h) + ProgramEvaluator
     (program_evaluator.h:118): `cost`, `residuals`, and
     `cost_gradient_jacobian` are each one XLA computation.
+
+    The jitted implementations are MODULE-LEVEL functions (below) so the
+    compile cache is shared across Evaluator instances and ct.solve
+    calls: same family structure => no recompile. The reference pays a
+    per-solve preprocessor cost instead; recompiling 100k-residual
+    kernels per solve would cost minutes on the TPU tunnel.
     """
 
-    def __init__(self, program: Program, apply_loss_function: bool = True):
+    def __init__(
+        self,
+        program: Program,
+        apply_loss_function: bool = True,
+        evaluation_callback=None,
+    ):
         self.program = program
         self.apply_loss = apply_loss_function
+        self.evaluation_callback = evaluation_callback
+        self._last_x = None
         self._families = program.families
         self._num_tangent = program.num_tangent
 
-        @jax.jit
-        def _cost(x, families):
-            total = jnp.asarray(0.0, dtype=jnp.float64)
-            for fam in families:
-                r = family_residuals(fam, x)
-                if self.apply_loss and fam.loss is not None:
-                    rho0, _, _ = fam.loss.evaluate(jnp.sum(r * r, axis=-1))
-                    total = total + 0.5 * jnp.sum(rho0)
-                else:
-                    total = total + 0.5 * jnp.sum(r * r)
-            return total
+        # Bound entry points with the static arguments filled in.
+        nt = program.num_tangent
+        al = apply_loss_function
+        self._cost_fn = lambda x, fams: _cost_impl(x, fams, al)
+        self._residuals_fn = lambda x, fams: _residuals_impl(x, fams, al)
+        self._full_fn = lambda x, fams: _full_impl(x, fams, al, nt)
+        self._cost_grad_fn = lambda x, fams, ps: _cost_grad_impl(
+            x, fams, ps, al, nt
+        )
 
-        @jax.jit
-        def _residuals(x, families):
-            outs = []
-            for fam in families:
-                r = family_residuals(fam, x)
-                if self.apply_loss and fam.loss is not None:
-                    sq = jnp.sum(r * r, axis=-1)
-                    _, rho1, rho2 = fam.loss.evaluate(sq)
-                    scale, _ = corrector_coefficients(sq, rho1, rho2)
-                    r = correct_residuals(r, scale)
-                outs.append(r.reshape(-1))
-            return jnp.concatenate(outs) if outs else jnp.zeros((0,))
-
-        @jax.jit
-        def _full(x, families):
-            cost = jnp.asarray(0.0, dtype=jnp.float64)
-            all_jacs = []
-            all_res = []
-            for fam in families:
-                r, jacs = family_residuals_and_jacobians(fam, x)
-                if self.apply_loss:
-                    c, r, jacs = _apply_loss(fam, r, jacs)
-                else:
-                    c = 0.5 * jnp.sum(r * r)
-                cost = cost + c
-                all_jacs.append(tuple(jacs))
-                all_res.append(r)
-            ctx = JacobianContext(
-                families, tuple(all_jacs), tuple(all_res), self._num_tangent
-            )
-            grad = ctx.gradient()
-            return cost, grad, ctx
-
-        from ceres_tpu.problem import plus_apply
-
-        @jax.jit
-        def _cost_grad(x, families, plus_struct):
-            # Reverse-mode gradient in the tangent space: differentiate
-            # cost(plus(x, delta)) at delta = 0. Equivalent to rho' J^T r
-            # (the reference assembles this from block jacobians,
-            # program_evaluator.h:266-284) but here it is one VJP pass with
-            # no Jacobian materialization — the right trade for LBFGS/CG
-            # line-search minimizers.
-            def cost_of_delta(delta):
-                return _cost(plus_apply(plus_struct, x, delta), families)
-
-            zero = jnp.zeros((self._num_tangent,), dtype=x.dtype)
-            return jax.value_and_grad(cost_of_delta)(zero)
-
-        self._cost_fn = _cost
-        self._residuals_fn = _residuals
-        self._full_fn = _full
-        self._cost_grad_fn = _cost_grad
+    def _notify(self, x, evaluate_jacobians: bool) -> None:
+        """EvaluationCallback hook (evaluation_callback.h:63-80):
+        new_evaluation_point is derived from x identity like the
+        reference derives it from the parameter pointer state."""
+        if self.evaluation_callback is None:
+            return
+        new_point = self._last_x is not x
+        self._last_x = x
+        self.evaluation_callback.prepare_for_evaluation(
+            new_point, evaluate_jacobians
+        )
 
     def cost(self, x: jax.Array) -> jax.Array:
+        self._notify(x, False)
         return self._cost_fn(x, self._families)
 
     def residuals(self, x: jax.Array) -> jax.Array:
+        self._notify(x, False)
         return self._residuals_fn(x, self._families)
 
     def cost_and_gradient(self, x: jax.Array):
         """(cost, tangent gradient) without forming the Jacobian."""
+        self._notify(x, False)
         return self._cost_grad_fn(x, self._families, self.program.plus_struct)
 
     def cost_gradient_jacobian(self, x: jax.Array) -> FullEval:
+        self._notify(x, True)
         cost, grad, ctx = self._full_fn(x, self._families)
         return FullEval(cost=cost, gradient=grad, jacobian_context=ctx)
 
     def plus(self, x: jax.Array, delta: jax.Array) -> jax.Array:
         return self.program.plus(x, delta)
+
+
+# -- module-level jitted implementations (shared compile cache) --------------
+
+
+@functools.partial(jax.jit, static_argnames=("apply_loss",))
+def _cost_impl(x, families, apply_loss):
+    total = jnp.asarray(0.0, dtype=jnp.float64)
+    for fam in families:
+        r = family_residuals(fam, x)
+        if apply_loss and fam.loss is not None:
+            rho0, _, _ = fam.loss.evaluate(jnp.sum(r * r, axis=-1))
+            total = total + 0.5 * jnp.sum(rho0)
+        else:
+            total = total + 0.5 * jnp.sum(r * r)
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("apply_loss",))
+def _residuals_impl(x, families, apply_loss):
+    outs = []
+    for fam in families:
+        r = family_residuals(fam, x)
+        if apply_loss and fam.loss is not None:
+            sq = jnp.sum(r * r, axis=-1)
+            _, rho1, rho2 = fam.loss.evaluate(sq)
+            scale, _ = corrector_coefficients(sq, rho1, rho2)
+            r = correct_residuals(r, scale)
+        outs.append(r.reshape(-1))
+    return jnp.concatenate(outs) if outs else jnp.zeros((0,))
+
+
+@functools.partial(jax.jit, static_argnames=("apply_loss", "num_tangent"))
+def _full_impl(x, families, apply_loss, num_tangent):
+    cost = jnp.asarray(0.0, dtype=jnp.float64)
+    all_jacs = []
+    all_res = []
+    for fam in families:
+        r, jacs = family_residuals_and_jacobians(fam, x)
+        if apply_loss:
+            c, r, jacs = _apply_loss(fam, r, jacs)
+        else:
+            c = 0.5 * jnp.sum(r * r)
+        cost = cost + c
+        all_jacs.append(tuple(jacs))
+        all_res.append(r)
+    ctx = JacobianContext(
+        list(families), tuple(all_jacs), tuple(all_res), num_tangent
+    )
+    grad = ctx.gradient()
+    return cost, grad, ctx
+
+
+@functools.partial(jax.jit, static_argnames=("apply_loss", "num_tangent"))
+def _cost_grad_impl(x, families, plus_struct, apply_loss, num_tangent):
+    """Reverse-mode tangent gradient: differentiate cost(plus(x, delta))
+    at delta = 0 — one VJP pass, no Jacobian materialization
+    (program_evaluator.h:266-284 analog)."""
+    from ceres_tpu.problem import plus_apply
+
+    def cost_of_delta(delta):
+        return _cost_impl(plus_apply(plus_struct, x, delta), families, apply_loss)
+
+    zero = jnp.zeros((num_tangent,), dtype=x.dtype)
+    return jax.value_and_grad(cost_of_delta)(zero)

@@ -94,6 +94,11 @@ class SolverOptions:
     use_spse_initialization: bool = False
     max_num_spse_iterations: int = 5
     spse_tolerance: float = 0.1
+    # Elimination-order hint (include/ceres/ordered_groups.h,
+    # Solver::Options::linear_solver_ordering): list of groups of
+    # parameter-block ids; group 0 is eliminated first (the e-blocks of
+    # Schur solvers). None = automatic (greedy maximal independent set).
+    linear_solver_ordering: Optional[List[List[int]]] = None
 
     # Inner iterations (solver.h:560-600).
     use_inner_iterations: bool = False
@@ -112,6 +117,10 @@ class SolverOptions:
     gradient_check_relative_precision: float = 1e-8
     gradient_check_numeric_derivative_relative_step_size: float = 1e-6
     callbacks: List[Callable] = dataclasses.field(default_factory=list)
+    # Pre-evaluation hook (evaluation_callback.h:63): called with
+    # (new_evaluation_point, evaluate_jacobians) before every residual /
+    # Jacobian evaluation the minimizer performs.
+    evaluation_callback: Optional[object] = None
 
     # Multi-device execution (TPU analog of num_threads, solver.h:429).
     mesh: Optional[object] = None  # jax.sharding.Mesh for sharded evaluation

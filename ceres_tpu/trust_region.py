@@ -16,6 +16,7 @@ iterations. (A fully fused `lax.while_loop` variant lives in
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, List, Optional
 
@@ -133,167 +134,218 @@ class LevenbergMarquardtStrategy:
     step_is_invalid = step_rejected
 
 
-def _make_linear_solve(options, program: Program):
-    """Build the linear-solve function for the configured solver type:
-    f(ctx, D, solve_aux) -> (y, lin_iters) minimizing
-    ||J y - f||^2 + ||D y||^2. The analog of LinearSolver::Solve dispatch
-    (linear_solver.cc:75).
+@dataclasses.dataclass(frozen=True)
+class _SolveConfig:
+    """Hashable static configuration for the module-level jitted step:
+    the scalar/enum subset of SolverOptions the linear solve needs.
+    Sharing one jit cache keyed on this config means repeated ct.solve
+    calls with equal-shaped problems never recompile."""
 
-    Returns (linear_solve, solve_aux): ``solve_aux`` is a pytree holding
-    the preprocessor-built index structures (block-Jacobi groups, Schur
-    elimination structure). It MUST be threaded through jit as an
-    argument — captured as closure constants, these arrays become large
-    HLO literals that blow up TPU compile times.
-    """
-    lst = options.linear_solver_type
+    linear_solver_type: LinearSolverType
+    preconditioner_type: PreconditionerType
+    eta: float
+    max_linear_solver_iterations: int
+    min_linear_solver_iterations: int
+    max_num_spse_iterations: int
+    min_lm_diagonal: float
+    max_lm_diagonal: float
+    use_mixed_precision_solves: bool
+    num_refinement_iterations: int
+    num_tangent: int
+
+
+def _config_from_options(options, program: Program) -> _SolveConfig:
+    return _SolveConfig(
+        linear_solver_type=options.linear_solver_type,
+        preconditioner_type=options.preconditioner_type,
+        eta=options.eta,
+        max_linear_solver_iterations=options.max_linear_solver_iterations,
+        min_linear_solver_iterations=options.min_linear_solver_iterations,
+        max_num_spse_iterations=options.max_num_spse_iterations,
+        min_lm_diagonal=options.min_lm_diagonal,
+        max_lm_diagonal=options.max_lm_diagonal,
+        use_mixed_precision_solves=options.use_mixed_precision_solves,
+        num_refinement_iterations=max(
+            options.max_num_refinement_iterations, 1
+        ),
+        num_tangent=program.num_tangent,
+    )
+
+
+def _build_solve_aux(options, program: Program):
+    """Preprocessor-built index structures (block-Jacobi groups, Schur
+    elimination structure) as a pytree. Threaded through jit as an
+    ARGUMENT — captured as closure constants these arrays become large
+    HLO literals that blow up TPU compile times."""
     bd_groups = {T: jnp.asarray(idx) for T, idx in program.bd_groups.items()}
-
-    # Schur structure built eagerly host-side — the analog of the
-    # reference's preprocessor ordering work
-    # (trust_region_preprocessor.cc:113-154), not the loop.
     schur_structure = None
-    if lst in (
+    if options.linear_solver_type in (
         LinearSolverType.DENSE_SCHUR,
         LinearSolverType.ITERATIVE_SCHUR,
         LinearSolverType.SPARSE_SCHUR,
     ):
         from ceres_tpu.linear.schur import build_schur_structure
 
+        ordering = None
+        if options.linear_solver_ordering:
+            ordering = list(options.linear_solver_ordering[0])
         schur_structure = getattr(program, "_schur_structure", None)
-        if schur_structure is None:
-            schur_structure = build_schur_structure(program)
+        if schur_structure is None or ordering is not None:
+            schur_structure = build_schur_structure(
+                program, ordering=ordering
+            )
             program._schur_structure = schur_structure
+    return {"bd_groups": bd_groups, "ss": schur_structure}
 
-    solve_aux = {"bd_groups": bd_groups, "ss": schur_structure}
 
-    def linear_solve(ctx: JacobianContext, D: jax.Array, solve_aux, rhs=None):
-        bd = solve_aux["bd_groups"]
-        if lst == LinearSolverType.DENSE_QR:
-            return solve_dense_qr(ctx, D, rhs=rhs), jnp.asarray(1, jnp.int32)
-        if lst == LinearSolverType.DENSE_NORMAL_CHOLESKY:
-            return (
-                solve_dense_normal_cholesky(ctx, D, rhs=rhs),
-                jnp.asarray(1, jnp.int32),
-            )
-        if lst == LinearSolverType.CGNR:
-            res = solve_cgnr(
-                ctx,
-                D,
-                preconditioner_type=options.preconditioner_type,
-                bd_groups=bd
-                if options.preconditioner_type == PreconditionerType.JACOBI
-                else None,
-                max_num_iterations=options.max_linear_solver_iterations,
-                min_num_iterations=options.min_linear_solver_iterations,
-                q_tolerance=options.eta,
-                r_tolerance=-1.0,
-                rhs=rhs,
-            )
-            return res.x, res.num_iterations
-        if lst in (
-            LinearSolverType.DENSE_SCHUR,
-            LinearSolverType.ITERATIVE_SCHUR,
-            LinearSolverType.SPARSE_SCHUR,
-        ):
-            from ceres_tpu.linear.schur import solve_schur
+def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
+    """LinearSolver::Solve dispatch (linear_solver.cc:75), pure."""
+    lst = config.linear_solver_type
+    bd = solve_aux["bd_groups"]
+    if lst == LinearSolverType.DENSE_QR:
+        return solve_dense_qr(ctx, D, rhs=rhs), jnp.asarray(1, jnp.int32)
+    if lst == LinearSolverType.DENSE_NORMAL_CHOLESKY:
+        return (
+            solve_dense_normal_cholesky(ctx, D, rhs=rhs),
+            jnp.asarray(1, jnp.int32),
+        )
+    if lst == LinearSolverType.CGNR:
+        res = solve_cgnr(
+            ctx,
+            D,
+            preconditioner_type=config.preconditioner_type,
+            bd_groups=bd
+            if config.preconditioner_type == PreconditionerType.JACOBI
+            else None,
+            max_num_iterations=config.max_linear_solver_iterations,
+            min_num_iterations=config.min_linear_solver_iterations,
+            q_tolerance=config.eta,
+            r_tolerance=-1.0,
+            rhs=rhs,
+        )
+        return res.x, res.num_iterations
+    if lst in (
+        LinearSolverType.DENSE_SCHUR,
+        LinearSolverType.ITERATIVE_SCHUR,
+        LinearSolverType.SPARSE_SCHUR,
+    ):
+        from ceres_tpu.linear.schur import solve_schur
 
-            return solve_schur(
-                ctx, D, program, options, ss=solve_aux["ss"], rhs=rhs
-            )
-        if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
-            # TPU-native stand-in: exact block factorization is replaced by
-            # CGNR with a block-Jacobi preconditioner driven to high
-            # accuracy (SURVEY.md §7 hard part (b)).
-            res = solve_cgnr(
-                ctx,
-                D,
-                preconditioner_type=PreconditionerType.JACOBI,
-                bd_groups=bd,
-                max_num_iterations=max(
-                    options.max_linear_solver_iterations, program.num_tangent
-                ),
-                q_tolerance=-1.0,
-                r_tolerance=1e-14,
-                rhs=rhs,
-            )
-            return res.x, res.num_iterations
-        raise ValueError(f"unsupported linear solver {lst}")
+        return solve_schur(
+            ctx, D, None, config, ss=solve_aux["ss"], rhs=rhs
+        )
+    if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+        # TPU-native stand-in: exact block factorization is replaced by
+        # CGNR with a block-Jacobi preconditioner driven to high
+        # accuracy (SURVEY.md §7 hard part (b)).
+        res = solve_cgnr(
+            ctx,
+            D,
+            preconditioner_type=PreconditionerType.JACOBI,
+            bd_groups=bd,
+            max_num_iterations=max(
+                config.max_linear_solver_iterations, config.num_tangent
+            ),
+            q_tolerance=-1.0,
+            r_tolerance=1e-14,
+            rhs=rhs,
+        )
+        return res.x, res.num_iterations
+    raise ValueError(f"unsupported linear solver {lst}")
 
-    if options.use_mixed_precision_solves:
-        inner = linear_solve
-        n_refine = max(options.max_num_refinement_iterations, 1)
 
-        def cast_tree(t, dtype):
-            return jax.tree_util.tree_map(
-                lambda a: a.astype(dtype)
-                if hasattr(a, "dtype")
-                and jnp.issubdtype(a.dtype, jnp.floating)
-                else a,
-                t,
-            )
+def _cast_tree(t, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        t,
+    )
 
-        def linear_solve(ctx: JacobianContext, D: jax.Array, solve_aux, rhs=None):
-            """Mixed precision: factor/solve in f32, accumulate and
-            iteratively refine in f64 — the TPU analog of
-            RefinedDenseCholesky / use_mixed_precision_solves
-            (dense_cholesky.h:104-246, iterative_refiner.{h,cc}). f32
-            runs on the MXU natively; f64 is emulated on TPU, so the
-            refinement loop buys back the accuracy at f32 speed.
-            """
-            ctx32 = cast_tree(ctx, jnp.float32)
-            D32 = D.astype(jnp.float32)
-            aux32 = cast_tree(solve_aux, jnp.float32)
-            # The refinement residual must be computed in HIGHER precision
-            # than the factorization (iterative_refiner.h): upcast the
-            # (f32-stored) Jacobian blocks to f64 for the matvec passes.
-            ctx64 = cast_tree(ctx, jnp.float64)
-            D64 = D.astype(jnp.float64)
-            rhs64 = (
-                ctx64.gradient() if rhs is None else rhs.astype(jnp.float64)
-            )
-            y32, lin_iters = inner(
-                ctx32, D32, aux32, rhs=rhs64.astype(jnp.float32)
-            )
-            y = y32.astype(jnp.float64)
-            total_iters = lin_iters
-            for _ in range(n_refine):
-                r = rhs64 - (ctx64.normal_matvec(y) + (D64 * D64) * y)
-                dy32, li = inner(
-                    ctx32, D32, aux32, rhs=r.astype(jnp.float32)
-                )
-                y = y + dy32.astype(jnp.float64)
-                total_iters = total_iters + li
-            return y, total_iters
+
+def _linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
+    """Dispatch incl. the mixed-precision wrapper: factor/solve in f32,
+    residual + accumulation in f64 — the TPU analog of
+    RefinedDenseCholesky / use_mixed_precision_solves
+    (dense_cholesky.h:104-246, iterative_refiner.{h,cc}). f32 runs on
+    the MXU natively; f64 is emulated on TPU, so refinement buys back
+    the accuracy at f32 speed."""
+    if not config.use_mixed_precision_solves:
+        return _base_linear_solve(ctx, D, solve_aux, config, rhs=rhs)
+
+    ctx32 = _cast_tree(ctx, jnp.float32)
+    D32 = D.astype(jnp.float32)
+    aux32 = _cast_tree(solve_aux, jnp.float32)
+    # The refinement residual must be computed in HIGHER precision than
+    # the factorization (iterative_refiner.h): upcast the (f32-stored)
+    # Jacobian blocks to f64 for the matvec passes.
+    ctx64 = _cast_tree(ctx, jnp.float64)
+    D64 = D.astype(jnp.float64)
+    rhs64 = ctx64.gradient() if rhs is None else rhs.astype(jnp.float64)
+    y32, lin_iters = _base_linear_solve(
+        ctx32, D32, aux32, config, rhs=rhs64.astype(jnp.float32)
+    )
+    y = y32.astype(jnp.float64)
+    total_iters = lin_iters
+    for _ in range(config.num_refinement_iterations):
+        r = rhs64 - (ctx64.normal_matvec(y) + (D64 * D64) * y)
+        dy32, li = _base_linear_solve(
+            ctx32, D32, aux32, config, rhs=r.astype(jnp.float32)
+        )
+        y = y + dy32.astype(jnp.float64)
+        total_iters = total_iters + li
+    return y, total_iters
+
+
+from ceres_tpu.problem import plus_apply
+
+_plus_jit = jax.jit(plus_apply)
+
+
+@jax.jit
+def _scale_columns_jit(ctx, s):
+    return ctx.scale_columns(s)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _lm_step_impl(ctx, radius, solve_aux, config: _SolveConfig):
+    """One LM step (module-level: shared jit cache across solves).
+    levenberg_marquardt_strategy.cc:78-95 + model cost change
+    (trust_region_minimizer.cc:424-438)."""
+    diag = jnp.clip(
+        ctx.squared_column_norms(), config.min_lm_diagonal,
+        config.max_lm_diagonal,
+    )
+    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    y, lin_iters = _linear_solve(ctx, D, solve_aux, config)
+    # mixed-precision solves return an f64-refined y; the step is
+    # applied to the evaluation-dtype state, so cast back.
+    step = -y.astype(diag.dtype)
+    Js = ctx.matvec(step)
+    mcc = jnp.asarray(0.0, jnp.float64)
+    for fi in range(len(ctx.families)):
+        mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+    return step, mcc, lin_iters
+
+
+def _make_linear_solve(options, program: Program):
+    """Back-compat factory: returns (linear_solve(ctx, D, aux, rhs=None),
+    solve_aux) bound to this options/program pair."""
+    config = _config_from_options(options, program)
+    solve_aux = _build_solve_aux(options, program)
+
+    def linear_solve(ctx, D, solve_aux, rhs=None):
+        return _linear_solve(ctx, D, solve_aux, config, rhs=rhs)
 
     return linear_solve, solve_aux
 
 
 def _make_lm_step_fn(options, program: Program):
-    """Build the jitted 'compute one LM step' kernel for the configured
-    linear solver. Returns f(ctx, radius) -> (step, model_cost_change,
-    linear_iterations)."""
-    min_d = options.min_lm_diagonal
-    max_d = options.max_lm_diagonal
-    linear_solve, solve_aux = _make_linear_solve(options, program)
-
-    @jax.jit
-    def step_fn(ctx: JacobianContext, radius: jax.Array, solve_aux):
-        # levenberg_marquardt_strategy.cc:78-95: D = sqrt(clamped diag/radius)
-        diag = jnp.clip(ctx.squared_column_norms(), min_d, max_d)
-        D = jnp.sqrt(diag / radius.astype(diag.dtype))
-        y, lin_iters = linear_solve(ctx, D, solve_aux)
-        # mixed-precision solves return an f64-refined y; the step is
-        # applied to the evaluation-dtype state, so cast back.
-        step = -y.astype(diag.dtype)
-        # model_cost_change = -(J step)'(f + J step / 2)
-        # (trust_region_minimizer.cc:424-438)
-        Js = ctx.matvec(step)
-        mcc = jnp.asarray(0.0, jnp.float64)
-        for fi in range(len(ctx.families)):
-            mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
-        return step, mcc, lin_iters
-
-    return lambda ctx, radius: step_fn(ctx, radius, solve_aux)
+    """Returns f(ctx, radius) -> (step, model_cost_change, lin_iters)
+    bound to the shared module-level jitted implementation."""
+    config = _config_from_options(options, program)
+    solve_aux = _build_solve_aux(options, program)
+    return lambda ctx, radius: _lm_step_impl(ctx, radius, solve_aux, config)
 
 
 class TrustRegionMinimizer:
@@ -305,7 +357,9 @@ class TrustRegionMinimizer:
         self.program = program
         self.options = options
         self.summary = summary
-        self.evaluator = Evaluator(program)
+        self.evaluator = Evaluator(
+            program, evaluation_callback=options.evaluation_callback
+        )
         self.use_dogleg = (
             options.trust_region_strategy_type
             == TrustRegionStrategyType.DOGLEG
@@ -317,11 +371,8 @@ class TrustRegionMinimizer:
             self._dogleg = DoglegStrategy(options, linear_solve, solve_aux)
         else:
             self.step_fn = _make_lm_step_fn(options, program)
-        from ceres_tpu.problem import plus_apply
-
-        _plus_jit = jax.jit(plus_apply)
         self._plus = lambda x, d: _plus_jit(program.plus_struct, x, d)
-        self._scale_columns = jax.jit(lambda ctx, s: ctx.scale_columns(s))
+        self._scale_columns = _scale_columns_jit
 
         # Inner iterations (solver.h:560-600, coordinate descent).
         self.inner_minimizer = None
