@@ -147,6 +147,7 @@ class _SolveConfig:
     max_linear_solver_iterations: int
     min_linear_solver_iterations: int
     max_num_spse_iterations: int
+    use_spse_initialization: bool
     min_lm_diagonal: float
     max_lm_diagonal: float
     use_mixed_precision_solves: bool
@@ -162,6 +163,7 @@ def _config_from_options(options, program: Program) -> _SolveConfig:
         max_linear_solver_iterations=options.max_linear_solver_iterations,
         min_linear_solver_iterations=options.min_linear_solver_iterations,
         max_num_spse_iterations=options.max_num_spse_iterations,
+        use_spse_initialization=options.use_spse_initialization,
         min_lm_diagonal=options.min_lm_diagonal,
         max_lm_diagonal=options.max_lm_diagonal,
         use_mixed_precision_solves=options.use_mixed_precision_solves,
@@ -189,10 +191,18 @@ def _build_solve_aux(options, program: Program):
         ordering = None
         if options.linear_solver_ordering:
             ordering = list(options.linear_solver_ordering[0])
+        with_clusters = options.preconditioner_type in (
+            PreconditionerType.CLUSTER_JACOBI,
+            PreconditionerType.CLUSTER_TRIDIAGONAL,
+        )
         schur_structure = getattr(program, "_schur_structure", None)
-        if schur_structure is None or ordering is not None:
+        if (
+            schur_structure is None
+            or ordering is not None
+            or (with_clusters and schur_structure.cluster_groups is None)
+        ):
             schur_structure = build_schur_structure(
-                program, ordering=ordering
+                program, ordering=ordering, with_clusters=with_clusters
             )
             program._schur_structure = schur_structure
     return {"bd_groups": bd_groups, "ss": schur_structure}

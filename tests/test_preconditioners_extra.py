@@ -1,0 +1,69 @@
+"""SPSE initialization + visibility-clustered preconditioners."""
+
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.models import bal
+
+
+@pytest.fixture(scope="module")
+def instance():
+    return bal.synthesize_bal(6, 80, 320, seed=12)
+
+
+def _solve(instance, **kwargs):
+    p, _, _ = bal.build_problem(instance)
+    opts = ct.SolverOptions(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        max_num_iterations=15,
+        **kwargs,
+    )
+    s = ct.solve(opts, p)
+    return s, sum(i.linear_solver_iterations for i in s.iterations)
+
+
+def test_spse_initialization_reduces_cg_iterations(instance):
+    base, it_base = _solve(
+        instance, preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI
+    )
+    spse, it_spse = _solve(
+        instance,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        use_spse_initialization=True,
+    )
+    assert it_spse <= it_base
+    np.testing.assert_allclose(
+        spse.final_cost, base.final_cost, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "precond", ["CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"]
+)
+def test_clustered_preconditioner(instance, precond):
+    base, it_base = _solve(
+        instance, preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI
+    )
+    cl, it_cl = _solve(
+        instance,
+        preconditioner_type=getattr(ct.PreconditionerType, precond),
+    )
+    # stronger preconditioner: no more CG iterations, same minimum
+    assert it_cl <= it_base
+    np.testing.assert_allclose(cl.final_cost, base.final_cost, rtol=1e-5)
+
+
+def test_cluster_groups_structure(instance):
+    from ceres_tpu.linear.schur import build_schur_structure
+
+    p, _, _ = bal.build_problem(instance)
+    program = p.program()
+    ss = build_schur_structure(program, with_clusters=True)
+    assert ss.cluster_groups is not None
+    cg = np.asarray(ss.cluster_groups)
+    # all real coords are f coords, each exactly once
+    real = cg[cg < program.num_tangent]
+    f_idx = set(int(v) for v in np.asarray(ss.f_idx))
+    assert set(int(v) for v in real) == f_idx
+    assert len(real) == len(set(real))
