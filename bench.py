@@ -26,6 +26,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 CACHE = REPO / "BASELINE_LOCAL.json"
 
+# Persistent XLA compilation cache: repeated bench runs (fresh processes)
+# skip the ~3-4 min of TPU compiles entirely.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 NUM_CAMERAS = 16
 NUM_POINTS = 22106
 NUM_OBS = 83718

@@ -409,6 +409,54 @@ class Problem:
             self._program_cache = Program(self)
         return self._program_cache
 
+    def evaluate_residual_block(
+        self,
+        rid: int,
+        apply_loss_function: bool = True,
+    ):
+        """Evaluate one residual block at the current parameter values.
+
+        Analog of Problem::EvaluateResidualBlock (problem.h:514-537).
+        Returns dict with 'cost', 'residuals', and 'jacobians' (list of
+        per-argument ambient-space jacobians)."""
+        kind = self._rid_index[int(rid)]
+        if kind[0] == "s":
+            rb = self._residual_blocks[kind[1]]
+            if rb.removed:
+                raise KeyError(f"residual block {rid} was removed")
+            fn, loss, pids, data = rb.fn, rb.loss, rb.param_ids, rb.data
+        else:
+            batch = self._residual_batches[kind[1]]
+            row = kind[2]
+            if batch.removed[row]:
+                raise KeyError(f"residual block {rid} was removed")
+            fn, loss = batch.fn, batch.loss
+            pids = tuple(int(v) for v in batch.cols[row])
+            data = (
+                None
+                if batch.data is None
+                else jax.tree_util.tree_map(
+                    lambda a: a[row], batch.data
+                )
+            )
+        values = [jnp.asarray(self._pb(p).values) for p in pids]
+        args = values + ([data] if data is not None else [])
+        r = fn(*args)
+        jacs = [
+            jax.jacfwd(fn, argnums=j)(*args) for j in range(len(values))
+        ]
+        sq = float(jnp.sum(r * r))
+        if apply_loss_function and loss is not None:
+            rho0 = float(loss.evaluate(jnp.asarray(sq))[0])
+            cost = 0.5 * rho0
+        else:
+            cost = 0.5 * sq
+        return {
+            "cost": cost,
+            "residuals": np.asarray(r),
+            "jacobians": [np.asarray(J) for J in jacs],
+        }
+
     def evaluate(
         self,
         residuals: bool = False,
