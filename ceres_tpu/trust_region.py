@@ -312,6 +312,43 @@ from ceres_tpu.problem import plus_apply
 _plus_jit = jax.jit(plus_apply)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_loss", "has_bounds", "use_scaling"),
+)
+def _candidate_impl(
+    x,
+    step_scaled,
+    scaling,
+    families,
+    plus_struct,
+    lower,
+    upper,
+    apply_loss,
+    has_bounds,
+    use_scaling,
+):
+    """Candidate point + cost + norms in ONE device computation with one
+    host transfer: the loop's per-iteration scalar reads otherwise cost a
+    tunnel round-trip each (trust_region_minimizer.cc:775-793 fused)."""
+    from ceres_tpu.evaluator import _cost_impl
+
+    delta = step_scaled * scaling if use_scaling else step_scaled
+    cand = plus_apply(plus_struct, x, delta)
+    if has_bounds:
+        cand = jnp.clip(cand, lower, upper)
+    cost = _cost_impl(cand, families, apply_loss)
+    step_norm = jnp.linalg.norm((x - cand).astype(jnp.float64))
+    x_norm = jnp.linalg.norm(x.astype(jnp.float64))
+    return cand, cost, step_norm, x_norm
+
+
+@jax.jit
+def _grad_norms(grad):
+    g = grad.astype(jnp.float64)
+    return jnp.max(jnp.abs(g)) if g.size else jnp.asarray(0.0), jnp.linalg.norm(g)
+
+
 @jax.jit
 def _scale_columns_jit(ctx, s):
     return ctx.scale_columns(s)
@@ -481,6 +518,9 @@ class TrustRegionMinimizer:
                 step_scaled, model_cost_change, lin_iters = self.step_fn(
                     ctx_used, jnp.asarray(strategy.radius, jnp.float64)
                 )
+            model_cost_change, lin_iters = jax.device_get(
+                (model_cost_change, lin_iters)
+            )
             model_cost_change = float(model_cost_change)
             it.linear_solver_iterations = int(lin_iters)
             it.step_solver_time_in_seconds = time.time() - solver_t0
@@ -541,19 +581,42 @@ class TrustRegionMinimizer:
                 continue
 
             num_consecutive_invalid_steps = 0
-            delta = (
-                step_scaled * jacobi_scaling
-                if jacobi_scaling is not None
-                else step_scaled
-            )
 
-            # Projected line search for bounds (trust_region_minimizer.cc:103-108).
             if program.has_bounds:
+                # Projected line search for bounds
+                # (trust_region_minimizer.cc:103-108).
+                delta = (
+                    step_scaled * jacobi_scaling
+                    if jacobi_scaling is not None
+                    else step_scaled
+                )
                 delta = self._projected_line_search(x, x_cost, delta)
-
-            # Candidate + cost (trust_region_minimizer.cc:775-793).
-            candidate_x = program.clamp(self._plus(x, delta))
-            candidate_cost = float(self.evaluator.cost(candidate_x))
+                candidate_x = program.clamp(self._plus(x, delta))
+                candidate_cost = float(self.evaluator.cost(candidate_x))
+                x_norm = float(jnp.linalg.norm(x))
+                step_norm = float(jnp.linalg.norm(x - candidate_x))
+            else:
+                # Fused candidate + cost + norms: one jit call, one
+                # host transfer (trust_region_minimizer.cc:775-793).
+                self.evaluator._notify(None, False)
+                candidate_x, cc, sn, xn = _candidate_impl(
+                    x,
+                    step_scaled,
+                    jacobi_scaling
+                    if jacobi_scaling is not None
+                    else step_scaled,
+                    program.families,
+                    program.plus_struct,
+                    program.lower,
+                    program.upper,
+                    self.evaluator.apply_loss,
+                    False,
+                    jacobi_scaling is not None,
+                )
+                cc, sn, xn = jax.device_get((cc, sn, xn))
+                candidate_cost, step_norm, x_norm = (
+                    float(cc), float(sn), float(xn),
+                )
             if not np.isfinite(candidate_cost):
                 candidate_cost = _DBL_MAX
 
@@ -582,8 +645,7 @@ class TrustRegionMinimizer:
                 else:
                     self._inner_enabled = False
 
-            x_norm = float(jnp.linalg.norm(x))
-            it.step_norm = float(jnp.linalg.norm(x - candidate_x))
+            it.step_norm = step_norm
             it.cost_change = x_cost - candidate_cost
 
             # Parameter tolerance (trust_region_minimizer.cc:720-742).
@@ -627,10 +689,9 @@ class TrustRegionMinimizer:
                 full = self.evaluator.cost_gradient_jacobian(x)
                 grad = full.gradient
                 ctx = full.jacobian_context
-                it.gradient_max_norm = (
-                    float(jnp.max(jnp.abs(grad))) if grad.size else 0.0
-                )
-                it.gradient_norm = float(jnp.linalg.norm(grad))
+                gmax, gnorm = jax.device_get(_grad_norms(grad))
+                it.gradient_max_norm = float(gmax)
+                it.gradient_norm = float(gnorm)
                 strategy.step_accepted(it.relative_decrease)
                 step_evaluator.step_accepted(candidate_cost, model_cost_change)
             else:
