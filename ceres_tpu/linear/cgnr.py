@@ -33,6 +33,7 @@ def solve_cgnr(
     q_tolerance: float = 0.1,
     r_tolerance: float = -1.0,
     rhs: Optional[jax.Array] = None,
+    subset_masks=None,
 ) -> CGResult:
     """Returns CGResult whose .x solves min ||J y - f||^2 + ||D y||^2,
     or (J'J + D'D) y = rhs when an explicit tangent rhs is given."""
@@ -47,9 +48,14 @@ def solve_cgnr(
             M = precond.block_jacobi_preconditioner(ctx, bd_groups, D)
         else:
             M = precond.scalar_jacobi_preconditioner(ctx, D)
+    elif (
+        preconditioner_type == PreconditionerType.SUBSET
+        and subset_masks is not None
+    ):
+        M = precond.subset_preconditioner(ctx, subset_masks, D)
     else:
         raise ValueError(
-            f"CGNR supports IDENTITY/JACOBI, got {preconditioner_type}"
+            f"CGNR supports IDENTITY/JACOBI/SUBSET, got {preconditioner_type}"
         )
 
     if rhs is None:

@@ -67,3 +67,46 @@ def block_jacobi_preconditioner(
         return out
 
     return apply
+
+
+def subset_preconditioner(
+    ctx: JacobianContext,
+    subset_masks,
+    D: Optional[jax.Array] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """M = (J_subset' J_subset + D'D)^-1 for a user-chosen subset of
+    residual rows (subset_preconditioner.h:44-80): useful when a small
+    well-conditioned subset (e.g. odometry residuals in SLAM) captures
+    the spectrum of the full problem. ``subset_masks`` is a per-family
+    (B,) 0/1 array selecting member instances.
+
+    The reference factors the subset normal matrix with sparse Cholesky;
+    here it is one dense assembly via masked scatter-adds + one dense
+    Cholesky — the TPU trade (SURVEY.md §7 hard part (b)).
+    """
+    n = ctx.num_tangent
+    dt = ctx.residuals[0].dtype
+    H = jnp.zeros((n + 1, n + 1), dtype=dt)
+    for fi, fam in enumerate(ctx.families):
+        m = subset_masks[fi]
+        if m is None:
+            continue
+        for j in range(fam.num_args):
+            Jm_j = ctx.jacs[fi][j] * m[:, None, None]
+            tj = fam.tangent_idx[j]
+            for k in range(fam.num_args):
+                Jk = ctx.jacs[fi][k]
+                tk = fam.tangent_idx[k]
+                contrib = jnp.einsum("bri,brj->bij", Jm_j, Jk)
+                H = H.at[tj[:, :, None], tk[:, None, :]].add(
+                    contrib, mode="drop"
+                )
+    H = H[:n, :n]
+    if D is not None:
+        H = H + jnp.diag(D * D)
+    chol, low = jax.scipy.linalg.cho_factor(H, lower=True)
+
+    def apply(v: jax.Array) -> jax.Array:
+        return jax.scipy.linalg.cho_solve((chol, low), v)
+
+    return apply

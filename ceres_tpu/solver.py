@@ -99,6 +99,10 @@ class SolverOptions:
     # parameter-block ids; group 0 is eliminated first (the e-blocks of
     # Schur solvers). None = automatic (greedy maximal independent set).
     linear_solver_ordering: Optional[List[List[int]]] = None
+    # Residual block ids whose rows form the SUBSET preconditioner
+    # (subset_preconditioner.h:44-80; Solver::Options::
+    # residual_blocks_for_subset_preconditioner).
+    residual_blocks_for_subset_preconditioner: Optional[List[int]] = None
 
     # Inner iterations (solver.h:560-600).
     use_inner_iterations: bool = False

@@ -205,7 +205,31 @@ def _build_solve_aux(options, program: Program):
                 program, ordering=ordering, with_clusters=with_clusters
             )
             program._schur_structure = schur_structure
-    return {"bd_groups": bd_groups, "ss": schur_structure}
+    subset_masks = None
+    if (
+        options.preconditioner_type == PreconditionerType.SUBSET
+        and options.residual_blocks_for_subset_preconditioner
+    ):
+        import numpy as _np
+
+        rid_set = set(
+            int(r) for r in options.residual_blocks_for_subset_preconditioner
+        )
+        subset_masks = tuple(
+            jnp.asarray(
+                _np.asarray(
+                    [1.0 if int(r) in rid_set else 0.0 for r in f.residual_ids]
+                )
+            )
+            if f.residual_ids is not None
+            else None
+            for f in program.families
+        )
+    return {
+        "bd_groups": bd_groups,
+        "ss": schur_structure,
+        "subset_masks": subset_masks,
+    }
 
 
 def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
@@ -232,6 +256,7 @@ def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
             q_tolerance=config.eta,
             r_tolerance=-1.0,
             rhs=rhs,
+            subset_masks=solve_aux.get("subset_masks"),
         )
         return res.x, res.num_iterations
     if lst in (
