@@ -473,6 +473,12 @@ class Problem:
         from ceres_tpu.evaluator import Evaluator
 
         prog = self.program()
+        if getattr(prog, "mesh", None) is not None:
+            # A sharded solve mutated the cached program (padded, masked
+            # batches); rebuild a clean single-device program so the
+            # returned residual vector has the user's row count.
+            self._dirty()
+            prog = self.program()
         ev = Evaluator(prog, apply_loss_function=apply_loss_function)
         x = prog.initial_ambient()
         out = {"cost": float(ev.cost(x))}

@@ -1,0 +1,155 @@
+"""Bundle-adjustment configuration matrix.
+
+Analog of generate_bundle_adjustment_tests.py:29-47 +
+bundle_adjustment_test_util.h:57-94: solve the same BA instance under
+every {solver x preconditioner x ordering x mesh x dtype} configuration
+and assert the final RESIDUAL VECTORS match the reference configuration
+within 1e-4 (the reference's tolerance at
+bundle_adjustment_test_util.h:94) — residuals, not parameters, because
+of gauge freedom.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.models import bal
+
+TOL = 1e-4  # bundle_adjustment_test_util.h:94
+
+
+@pytest.fixture(scope="module")
+def instance():
+    return bal.synthesize_bal(6, 120, 460, seed=77)
+
+
+def _final_residuals(instance, **kwargs):
+    p, cam_ids, pt_ids = bal.build_problem(instance)
+    ordering = kwargs.pop("user_ordering", False)
+    opts = ct.SolverOptions(
+        max_num_iterations=30,
+        function_tolerance=1e-10,
+        **kwargs,
+    )
+    if ordering:
+        opts.linear_solver_ordering = [list(pt_ids), list(cam_ids)]
+    s = ct.solve(opts, p)
+    assert s.termination_type in (
+        ct.TerminationType.CONVERGENCE,
+        ct.TerminationType.NO_CONVERGENCE,
+    )
+    r = p.evaluate(residuals=True)["residuals"]
+    return np.asarray(r, dtype=np.float64)
+
+
+@pytest.fixture(scope="module")
+def reference_residuals(instance):
+    return _final_residuals(
+        instance, linear_solver_type=ct.LinearSolverType.DENSE_QR
+    )
+
+
+CONFIGS = [
+    dict(linear_solver_type=ct.LinearSolverType.DENSE_NORMAL_CHOLESKY),
+    dict(
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.JACOBI,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+    ),
+    dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR),
+    dict(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        user_ordering=True,
+    ),
+    dict(linear_solver_type=ct.LinearSolverType.SPARSE_SCHUR),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.JACOBI,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        user_ordering=True,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=(
+            ct.PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
+        ),
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.CLUSTER_JACOBI,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        use_spse_initialization=True,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        evaluation_dtype="float32",
+        use_mixed_precision_solves=True,
+        max_num_refinement_iterations=1,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+        trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
+    ),
+    dict(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        use_nonmonotonic_steps=True,
+    ),
+]
+
+
+def _cfg_id(cfg):
+    parts = [cfg["linear_solver_type"].name]
+    if "preconditioner_type" in cfg:
+        parts.append(cfg["preconditioner_type"].name)
+    if cfg.get("user_ordering"):
+        parts.append("user_ordering")
+    if cfg.get("evaluation_dtype"):
+        parts.append(cfg["evaluation_dtype"])
+    if cfg.get("use_spse_initialization"):
+        parts.append("spse")
+    if cfg.get("use_nonmonotonic_steps"):
+        parts.append("nonmonotonic")
+    if "trust_region_strategy_type" in cfg:
+        parts.append("dogleg")
+    return "-".join(parts)
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=_cfg_id)
+def test_final_residuals_match_reference_config(
+    instance, reference_residuals, cfg
+):
+    r = _final_residuals(instance, **dict(cfg))
+    max_abs = np.max(np.abs(r - reference_residuals))
+    assert max_abs < TOL, f"max residual deviation {max_abs:.2e}"
+
+
+@pytest.mark.parametrize("mesh_size", [8])
+def test_sharded_matches_reference_config(
+    instance, reference_residuals, mesh_size
+):
+    """1-vs-N-device equivalence at the residual level (the reference's
+    *_threads_test variants)."""
+    from ceres_tpu.parallel import make_mesh
+
+    r = _final_residuals(
+        instance,
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        mesh=make_mesh(mesh_size),
+    )
+    assert np.max(np.abs(r - reference_residuals)) < TOL
