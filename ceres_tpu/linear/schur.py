@@ -654,8 +654,21 @@ def solve_schur(
         x0 = op.power_series_preconditioner(
             options.max_num_spse_iterations
         )(rhs)
+    # use_explicit_schur_complement (solver.h:540-556 /
+    # iterative_schur_complement_solver.cc CreatePreconditioner path):
+    # materialize S once and run CG against the dense matrix — wins when
+    # cameras are few and S·x would otherwise repeat the elimination.
+    s_apply = op.s_times
+    if getattr(options, "use_explicit_schur_complement", False):
+        S_dense, _, f_idx_d = op.dense_reduced_system()
+        nt = ctx.num_tangent
+
+        def s_apply(v):
+            red = S_dense @ v[f_idx_d]
+            return jnp.zeros((nt,), dtype=v.dtype).at[f_idx_d].set(red)
+
     res: CGResult = conjugate_gradients(
-        op.s_times,
+        s_apply,
         rhs,
         x0=x0,
         preconditioner=M,

@@ -82,6 +82,11 @@ class SolverOptions:
     max_linear_solver_iterations: int = 500
     eta: float = 1e-1
     use_explicit_schur_complement: bool = False
+    # dynamic_sparsity (solver.h, DynamicSparseNormalCholesky): the
+    # reference re-analyzes factorization sparsity every iteration for
+    # numerically-sparse problems. The TPU path is matrix-free (CGNR), so
+    # sparsity changes are free; the flag is accepted and routes to CGNR.
+    dynamic_sparsity: bool = False
     use_mixed_precision_solves: bool = False
     max_num_refinement_iterations: int = 0
     # Evaluation dtype policy (TPU-specific extension): None keeps the

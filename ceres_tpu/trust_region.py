@@ -148,6 +148,7 @@ class _SolveConfig:
     min_linear_solver_iterations: int
     max_num_spse_iterations: int
     use_spse_initialization: bool
+    use_explicit_schur_complement: bool
     min_lm_diagonal: float
     max_lm_diagonal: float
     use_mixed_precision_solves: bool
@@ -164,6 +165,7 @@ def _config_from_options(options, program: Program) -> _SolveConfig:
         min_linear_solver_iterations=options.min_linear_solver_iterations,
         max_num_spse_iterations=options.max_num_spse_iterations,
         use_spse_initialization=options.use_spse_initialization,
+        use_explicit_schur_complement=options.use_explicit_schur_complement,
         min_lm_diagonal=options.min_lm_diagonal,
         max_lm_diagonal=options.max_lm_diagonal,
         use_mixed_precision_solves=options.use_mixed_precision_solves,
