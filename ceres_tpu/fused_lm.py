@@ -58,7 +58,6 @@ _FAILURE = 3
 @dataclasses.dataclass(frozen=True)
 class _FusedConfig:
     solve: _SolveConfig
-    max_num_iterations: int
     function_tolerance: float
     gradient_tolerance: float
     parameter_tolerance: float
@@ -73,7 +72,11 @@ class _FusedConfig:
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _fused_minimize(x0, families, plus_struct, solve_aux, config: _FusedConfig):
+def _fused_minimize(
+    x0, families, plus_struct, solve_aux, max_num_iterations, config: _FusedConfig
+):
+    # max_num_iterations is a DEVICE scalar (not static): warm-up solves
+    # with a different budget share the compiled while_loop.
     sc = config.solve
 
     def eval_full(x):
@@ -171,7 +174,7 @@ def _fused_minimize(x0, families, plus_struct, solve_aux, config: _FusedConfig):
 
     def cond(s: _FusedState):
         return (s.termination == _RUNNING) & (
-            s.iteration < config.max_num_iterations
+            s.iteration < max_num_iterations
         )
 
     init = _FusedState(
@@ -219,7 +222,6 @@ def fused_solve(options, problem):
     )
     config = _FusedConfig(
         solve=_config_from_options(resolved, program),
-        max_num_iterations=resolved.max_num_iterations,
         function_tolerance=resolved.function_tolerance,
         gradient_tolerance=resolved.gradient_tolerance,
         parameter_tolerance=resolved.parameter_tolerance,
@@ -242,7 +244,12 @@ def fused_solve(options, problem):
         x0 = replicate(x0, options.mesh)
 
     final, cost0 = _fused_minimize(
-        x0, program.families, program.plus_struct, solve_aux, config
+        x0,
+        program.families,
+        program.plus_struct,
+        solve_aux,
+        jnp.asarray(resolved.max_num_iterations, jnp.int32),
+        config,
     )
     (x, cost, term, iters, succ, unsucc, c0) = jax.device_get(
         (
