@@ -490,6 +490,7 @@ class Problem:
                 out["gradient"] = np.asarray(full.gradient)
             if jacobian:
                 out["jacobian"] = np.asarray(full.jacobian_context.to_dense())
+                out["jacobian_crs"] = _to_crs(full.jacobian_context)
         return out
 
     def write_back(self, x_ambient: np.ndarray) -> None:
@@ -501,6 +502,42 @@ class Problem:
                 continue
             off = prog.ambient_offset[rec.pid]
             rec.values[:] = x_ambient[off : off + rec.size]
+
+
+def _to_crs(ctx):
+    """Scipy CSR of the block Jacobian (include/ceres/crs_matrix.h
+    analog for Problem::Evaluate): assembled host-side from the
+    per-family (B, r, T_j) blocks without materializing the dense
+    matrix."""
+    import scipy.sparse as sp
+
+    rows_l, cols_l, vals_l = [], [], []
+    row0 = 0
+    nt = ctx.num_tangent
+    for fi, fam in enumerate(ctx.families):
+        B, r = fam.batch, fam.residual_size
+        rows_f = row0 + np.arange(B * r).reshape(B, r)
+        for j in range(fam.num_args):
+            tj = np.asarray(fam.tangent_idx[j])  # (B, T)
+            Jj = np.asarray(ctx.jacs[fi][j])  # (B, r, T)
+            T = tj.shape[1]
+            keep = tj < nt  # drop constant-block dummy columns
+            rr = np.broadcast_to(rows_f[:, :, None], (B, r, T))
+            cc = np.broadcast_to(tj[:, None, :], (B, r, T))
+            kk = np.broadcast_to(keep[:, None, :], (B, r, T))
+            rows_l.append(rr[kk])
+            cols_l.append(cc[kk])
+            vals_l.append(Jj[kk])
+        row0 += B * r
+    if not rows_l:
+        return sp.csr_matrix((0, nt))
+    return sp.csr_matrix(
+        (
+            np.concatenate(vals_l),
+            (np.concatenate(rows_l), np.concatenate(cols_l)),
+        ),
+        shape=(row0, nt),
+    )
 
 
 @dataclasses.dataclass(frozen=True)
