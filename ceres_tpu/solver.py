@@ -126,6 +126,10 @@ class SolverOptions:
     gradient_check_relative_precision: float = 1e-8
     gradient_check_numeric_derivative_relative_step_size: float = 1e-6
     callbacks: List[Callable] = dataclasses.field(default_factory=list)
+    # Write the current parameter values back into the Problem's blocks
+    # every iteration so IterationCallbacks can observe them
+    # (solver.h:786-815).
+    update_state_every_iteration: bool = False
     # Pre-evaluation hook (evaluation_callback.h:63): called with
     # (new_evaluation_point, evaluate_jacobians) before every residual /
     # Jacobian evaluation the minimizer performs.

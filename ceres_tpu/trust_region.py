@@ -603,7 +603,7 @@ class TrustRegionMinimizer:
                 it.cumulative_time_in_seconds = time.time() - start_time
                 summary.iterations.append(it)
                 self._log_progress(it)
-                if self._run_callbacks(it):
+                if self._run_callbacks(it, x):
                     return self._finish(x)
                 continue
 
@@ -732,7 +732,7 @@ class TrustRegionMinimizer:
             it.cumulative_time_in_seconds = time.time() - start_time
             summary.iterations.append(it)
             self._log_progress(it)
-            if self._run_callbacks(it):
+            if self._run_callbacks(it, x):
                 return self._finish(x)
 
             if (
@@ -795,8 +795,15 @@ class TrustRegionMinimizer:
             alpha *= 0.5
         return best_alpha * delta
 
-    def _run_callbacks(self, it: IterationSummary) -> bool:
+    def _run_callbacks(self, it: IterationSummary, x=None) -> bool:
         """Returns True if minimization should stop (callbacks.h:45-75)."""
+        if (
+            self.options.update_state_every_iteration
+            and x is not None
+            and self.options.callbacks
+        ):
+            # solver.h:786-815: expose current parameters to callbacks.
+            self.program._problem.write_back(np.asarray(x))
         for cb in self.options.callbacks:
             ret = cb(it)
             if ret == CallbackReturnType.SOLVER_ABORT:
