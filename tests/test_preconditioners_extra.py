@@ -14,11 +14,10 @@ def instance():
 
 def _solve(instance, **kwargs):
     p, _, _ = bal.build_problem(instance)
-    opts = ct.SolverOptions(
-        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
-        max_num_iterations=15,
-        **kwargs,
+    kwargs.setdefault(
+        "linear_solver_type", ct.LinearSolverType.ITERATIVE_SCHUR
     )
+    opts = ct.SolverOptions(max_num_iterations=15, **kwargs)
     s = ct.solve(opts, p)
     return s, sum(i.linear_solver_iterations for i in s.iterations)
 
@@ -52,6 +51,35 @@ def test_clustered_preconditioner(instance, precond):
     # stronger preconditioner: no more CG iterations, same minimum
     assert it_cl <= it_base
     np.testing.assert_allclose(cl.final_cost, base.final_cost, rtol=1e-5)
+
+
+def test_subset_preconditioner(instance):
+    """SUBSET with all rows == full normal matrix => CG converges almost
+    immediately; partial subsets still converge to the same minimum
+    (subset_preconditioner.h:44-80)."""
+    p, _, _ = bal.build_problem(instance)
+    prog = p.program()
+    rids = list(prog.families[0].residual_ids)
+    base, it_base = _solve(
+        instance,
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.JACOBI,
+    )
+    full, it_full = _solve(
+        instance,
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.SUBSET,
+        residual_blocks_for_subset_preconditioner=rids,
+    )
+    half, it_half = _solve(
+        instance,
+        linear_solver_type=ct.LinearSolverType.CGNR,
+        preconditioner_type=ct.PreconditionerType.SUBSET,
+        residual_blocks_for_subset_preconditioner=rids[::2],
+    )
+    assert it_full < it_base
+    np.testing.assert_allclose(full.final_cost, base.final_cost, rtol=1e-5)
+    np.testing.assert_allclose(half.final_cost, base.final_cost, rtol=1e-4)
 
 
 def test_cluster_groups_structure(instance):
