@@ -207,6 +207,10 @@ class SolverSummary:
     postprocessor_time_in_seconds: float = 0.0
     total_time_in_seconds: float = 0.0
     linear_solver_type_used: Optional[LinearSolverType] = None
+    preconditioner_type_used: Optional[PreconditionerType] = None
+    trust_region_strategy_type_used: Optional[TrustRegionStrategyType] = None
+    evaluation_dtype: Optional[str] = None
+    num_devices: int = 1
     minimizer_type: MinimizerType = MinimizerType.TRUST_REGION
     trust_region_strategy_type: TrustRegionStrategyType = (
         TrustRegionStrategyType.LEVENBERG_MARQUARDT
@@ -242,8 +246,15 @@ class SolverSummary:
             f"{'Residuals':<30}{self.num_residuals:>12}",
             "",
             f"{'Minimizer type':<30}{str(self.minimizer_type):>12}",
+            f"{'Trust region strategy':<30}"
+            f"{str(self.trust_region_strategy_type_used):>12}",
             f"{'Linear solver':<30}"
             f"{str(self.linear_solver_type_used):>12}",
+            f"{'Preconditioner':<30}"
+            f"{str(self.preconditioner_type_used):>12}",
+            f"{'Evaluation dtype':<30}"
+            f"{str(self.evaluation_dtype or 'float64'):>12}",
+            f"{'Devices':<30}{self.num_devices:>12}",
             "",
             f"{'Initial cost':<30}{self.initial_cost:>12.6e}",
             f"{'Final cost':<30}{self.final_cost:>12.6e}",
@@ -312,6 +323,13 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         ),
     )
     summary.linear_solver_type_used = resolved.linear_solver_type
+    summary.preconditioner_type_used = resolved.preconditioner_type
+    summary.trust_region_strategy_type_used = (
+        resolved.trust_region_strategy_type
+    )
+    summary.evaluation_dtype = options.evaluation_dtype
+    if options.mesh is not None:
+        summary.num_devices = int(np.prod(list(options.mesh.shape.values())))
 
     if options.evaluation_dtype is not None:
         from ceres_tpu.problem import cast_program
