@@ -229,3 +229,64 @@ def angle_axis_rotate_point(angle_axis: jax.Array, pt: jax.Array) -> jax.Array:
 def rotate_point(R: jax.Array, pt: jax.Array) -> jax.Array:
     """R @ p for batched R."""
     return jnp.einsum("...ij,...j->...i", R, pt)
+
+
+# ---------------------------------------------------------------------------
+# Generalized Euler angle conventions (include/ceres/rotation.h:167-216,
+# internal/euler_angles.h — all 24 Shoemake conventions via sequence
+# strings like "ZYX" (Tait-Bryan) or "ZXZ" (proper Euler), intrinsic or
+# extrinsic).
+# ---------------------------------------------------------------------------
+
+_AXIS = {"X": 0, "Y": 1, "Z": 2}
+
+
+def _axis_rotation(axis: int, theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    i = (axis + 1) % 3
+    j = (axis + 2) % 3
+    R = jnp.zeros((3, 3), dtype=jnp.result_type(theta, 1.0))
+    R = R.at[axis, axis].set(1.0)
+    R = R.at[i, i].set(c).at[j, j].set(c)
+    R = R.at[i, j].set(-s).at[j, i].set(s)
+    return R
+
+
+def euler_to_rotation(angles, seq: str = "ZYX", intrinsic: bool = True):
+    """R from three rotation angles about the axes named in ``seq``
+    (EulerAnglesToRotation, rotation.h:167). Intrinsic: body-frame
+    composition R = R1 R2 R3; extrinsic: world-frame, R = R3 R2 R1."""
+    seq = seq.upper()
+    if len(seq) != 3 or any(c not in _AXIS for c in seq):
+        raise ValueError(f"bad Euler sequence {seq!r}")
+    if seq[0] == seq[1] or seq[1] == seq[2]:
+        raise ValueError(f"consecutive repeated axis in {seq!r}")
+    Rs = [_axis_rotation(_AXIS[c], angles[n]) for n, c in enumerate(seq)]
+    if intrinsic:
+        return Rs[0] @ Rs[1] @ Rs[2]
+    return Rs[2] @ Rs[1] @ Rs[0]
+
+
+def rotation_to_euler(R, seq: str = "ZYX", intrinsic: bool = True):
+    """Inverse of euler_to_rotation (RotationMatrixToEulerAngles,
+    rotation.h:199): supports all 12 intrinsic and 12 extrinsic
+    conventions. Returns angles in the middle-angle principal range."""
+    seq = seq.upper()
+    if not intrinsic:
+        # extrinsic (i,j,k) with angles (a,b,c) == intrinsic (k,j,i)
+        # with angles (c,b,a)
+        a3, a2, a1 = rotation_to_euler(R, seq[::-1], intrinsic=True)
+        return jnp.stack([a1, a2, a3])
+    i, j, k = (_AXIS[c] for c in seq)
+    if i == k:  # proper Euler (i, j, i)
+        l = 3 - i - j
+        e = 1.0 if (j - i) % 3 == 1 else -1.0
+        b = jnp.arccos(jnp.clip(R[i, i], -1.0, 1.0))
+        a = jnp.arctan2(R[j, i], -e * R[l, i])
+        c = jnp.arctan2(R[i, j], e * R[i, l])
+    else:  # Tait-Bryan (i, j, k) all distinct
+        e = 1.0 if (j - i) % 3 == 1 else -1.0
+        b = jnp.arcsin(jnp.clip(e * R[i, k], -1.0, 1.0))
+        a = jnp.arctan2(-e * R[j, k], R[k, k])
+        c = jnp.arctan2(-e * R[i, j], R[i, i])
+    return jnp.stack([a, b, c])

@@ -117,3 +117,58 @@ def test_rotation_functions_differentiable():
         return jnp.sum(rot.angle_axis_to_quaternion(aa))
 
     assert np.all(np.isfinite(np.asarray(jax.grad(h)(jnp.zeros(3)))))
+
+
+class TestGeneralizedEuler:
+    """All 24 Shoemake Euler conventions round-trip
+    (rotation.h:167-216, internal/euler_angles.h)."""
+
+    SEQS = [
+        "XYZ", "XZY", "YXZ", "YZX", "ZXY", "ZYX",  # Tait-Bryan
+        "XYX", "XZX", "YXY", "YZY", "ZXZ", "ZYZ",  # proper Euler
+    ]
+
+    @pytest.mark.parametrize("seq", SEQS)
+    @pytest.mark.parametrize("intrinsic", [True, False])
+    def test_roundtrip(self, seq, intrinsic):
+        from ceres_tpu.rotation import euler_to_rotation, rotation_to_euler
+
+        rng = np.random.default_rng(hash((seq, intrinsic)) % 2**31)
+        for _ in range(5):
+            if seq[0] == seq[2]:
+                ang = np.array([
+                    rng.uniform(-np.pi, np.pi),
+                    rng.uniform(0.05, np.pi - 0.05),
+                    rng.uniform(-np.pi, np.pi),
+                ])
+            else:
+                ang = np.array([
+                    rng.uniform(-np.pi, np.pi),
+                    rng.uniform(-np.pi / 2 + 0.05, np.pi / 2 - 0.05),
+                    rng.uniform(-np.pi, np.pi),
+                ])
+            R = euler_to_rotation(jnp.asarray(ang), seq, intrinsic)
+            back = rotation_to_euler(R, seq, intrinsic)
+            R2 = euler_to_rotation(back, seq, intrinsic)
+            np.testing.assert_allclose(
+                np.asarray(R), np.asarray(R2), atol=1e-10
+            )
+            np.testing.assert_allclose(np.asarray(back), ang, atol=1e-8)
+
+    def test_extrinsic_is_reversed_intrinsic(self):
+        from ceres_tpu.rotation import euler_to_rotation
+
+        ang = jnp.asarray([0.3, -0.7, 1.1])
+        R_ext = euler_to_rotation(ang, "XYZ", intrinsic=False)
+        R_int = euler_to_rotation(ang[::-1], "ZYX", intrinsic=True)
+        np.testing.assert_allclose(
+            np.asarray(R_ext), np.asarray(R_int), atol=1e-14
+        )
+
+    def test_bad_sequence_raises(self):
+        from ceres_tpu.rotation import euler_to_rotation
+
+        with pytest.raises(ValueError):
+            euler_to_rotation(jnp.zeros(3), "XXZ")
+        with pytest.raises(ValueError):
+            euler_to_rotation(jnp.zeros(3), "ABF")
