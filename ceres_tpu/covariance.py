@@ -46,6 +46,8 @@ class Covariance:
     def __init__(self, options: Optional[CovarianceOptions] = None):
         self.options = options or CovarianceOptions()
         self._cov_tangent: Optional[np.ndarray] = None
+        self._schur_cov: Optional[np.ndarray] = None
+        self._schur_pos = None
         self._program = None
         self._problem = None
 
@@ -61,7 +63,6 @@ class Covariance:
         covariance is one device matmul, so we form inverse(J'J) once and
         slice blocks out of it.
         """
-        del covariance_blocks  # full tangent covariance is computed
         from ceres_tpu.evaluator import Evaluator
 
         self._problem = problem
@@ -69,6 +70,23 @@ class Covariance:
         self._program = program
         ev = Evaluator(program, apply_loss_function=self.options.apply_loss_function)
         full = ev.cost_gradient_jacobian(program.initial_ambient())
+
+        # Large problems: dense J'J inversion is infeasible; when every
+        # requested block is an f-block (cameras) of a Schur-structured
+        # problem, the exact marginal covariance of the f-blocks is
+        # S^{-1} (points marginalized out) — computed from the reduced
+        # camera system. The scalable BA covariance path (the reference
+        # needs SuiteSparseQR of the full Jacobian here).
+        if program.num_tangent > 4096 or self._requested_schur(
+            covariance_blocks, program
+        ):
+            ok = self._compute_schur_marginals(
+                covariance_blocks, program, full
+            )
+            if ok is not None:
+                return ok
+
+        del covariance_blocks  # full tangent covariance is computed
         J = np.asarray(full.jacobian_context.to_dense())
 
         opts = self.options
@@ -109,6 +127,72 @@ class Covariance:
         self._cov_tangent = Rinv @ Rinv.T
         return True
 
+    def _requested_schur(self, covariance_blocks, program) -> bool:
+        """True if the user explicitly asked for the Schur marginal path
+        by requesting only non-eliminated (camera) blocks of a problem
+        that has a cached Schur structure."""
+        ss = getattr(program, "_schur_structure", None)
+        if ss is None or not covariance_blocks:
+            return False
+        e_coords = set(int(v) for v in np.asarray(ss.e_group).reshape(-1))
+        for p1, p2 in covariance_blocks:
+            for pid in (p1, p2):
+                off = program.tangent_offset.get(pid)
+                if off is None or off in e_coords:
+                    return False
+        return True
+
+    def _compute_schur_marginals(self, covariance_blocks, program, full):
+        """Camera-marginal covariance via inverse of the (damping-free)
+        Schur complement S = F'F - F'E (E'E)^{-1} E'F. Returns True/False
+        on success/failure, or None to fall through to the dense path."""
+        import jax.numpy as jnp
+
+        from ceres_tpu.linear.schur import SchurOperator, build_schur_structure
+
+        try:
+            ss = getattr(program, "_schur_structure", None)
+            if ss is None:
+                ss = build_schur_structure(program)
+                program._schur_structure = ss
+        except ValueError:
+            return None  # no Schur structure — dense path
+        ctx = full.jacobian_context
+        tiny = jnp.full(
+            (program.num_tangent,), 1e-150, dtype=ctx.residuals[0].dtype
+        )
+        op = SchurOperator(ctx, tiny, ss)
+        S, _, f_idx = op.dense_reduced_system()
+        S = np.asarray(S, dtype=np.float64)
+        diag = np.abs(np.diag(S))
+        if diag.size == 0 or np.min(diag) <= 0:
+            return False
+        try:
+            # SPD gate: a gauge-deficient problem (un-fixed BA similarity
+            # freedom) has singular S — refuse like the reference refuses
+            # rank deficiency without null_space_rank
+            # (covariance_impl.cc:705-760).
+            np.linalg.cholesky(
+                S
+                + np.eye(S.shape[0])
+                * (self.options.min_reciprocal_condition_number * 0.0)
+            )
+            rcond = np.min(diag) / np.max(diag)
+            S_inv = np.linalg.inv(S)
+            # residual check catches numerically singular S
+            err = np.linalg.norm(S @ S_inv - np.eye(S.shape[0]), ord=np.inf)
+            if not np.isfinite(err) or err > 1e-4:
+                return False
+        except np.linalg.LinAlgError:
+            return False
+        # embed into a sparse map: tangent coord -> position in f_idx
+        self._cov_tangent = None
+        self._schur_cov = S_inv
+        self._schur_pos = {
+            int(c): i for i, c in enumerate(np.asarray(f_idx))
+        }
+        return True
+
     # -- block access --------------------------------------------------------
 
     def _tangent_slice(self, pid: int):
@@ -119,27 +203,45 @@ class Covariance:
         off = program.tangent_offset[pid]
         return slice(off, off + rec.tangent_size), rec
 
+    def _block_from_schur(self, s1, s2, rec1, rec2):
+        pos = self._schur_pos
+        try:
+            i1 = [pos[c] for c in range(s1.start, s1.stop)]
+            i2 = [pos[c] for c in range(s2.start, s2.stop)]
+        except KeyError:
+            raise RuntimeError(
+                "Schur-marginal covariance holds only non-eliminated "
+                "(camera) blocks; request eliminated blocks with the "
+                "dense algorithms"
+            )
+        return self._schur_cov[np.ix_(i1, i2)].copy()
+
     def get_covariance_block_in_tangent_space(
         self, pid1: int, pid2: int
     ) -> np.ndarray:
         """covariance.h GetCovarianceBlockInTangentSpace."""
-        if self._cov_tangent is None:
+        if self._cov_tangent is None and self._schur_cov is None:
             raise RuntimeError("call compute() first")
         s1, rec1 = self._tangent_slice(pid1)
         s2, rec2 = self._tangent_slice(pid2)
         if s1 is None or s2 is None:
             return np.zeros((rec1.tangent_size, rec2.tangent_size))
+        if self._cov_tangent is None:
+            return self._block_from_schur(s1, s2, rec1, rec2)
         return self._cov_tangent[s1, s2].copy()
 
     def get_covariance_block(self, pid1: int, pid2: int) -> np.ndarray:
         """Ambient-space block: J_plus C J_plus' (covariance_impl.cc:129)."""
-        if self._cov_tangent is None:
+        if self._cov_tangent is None and self._schur_cov is None:
             raise RuntimeError("call compute() first")
         s1, rec1 = self._tangent_slice(pid1)
         s2, rec2 = self._tangent_slice(pid2)
         if s1 is None or s2 is None:
             return np.zeros((rec1.size, rec2.size))
-        C = self._cov_tangent[s1, s2]
+        if self._cov_tangent is None:
+            C = self._block_from_schur(s1, s2, rec1, rec2)
+        else:
+            C = self._cov_tangent[s1, s2]
 
         def lift(rec):
             if rec.manifold is None:

@@ -171,6 +171,7 @@ def build_schur_structure(
     f_groups = {T: jnp.asarray(np.stack(rows)) for T, rows in f_rows.items()}
     f_group_sizes = {T: len(rows) for T, rows in f_rows.items()}
 
+    const_set = {rec.pid for rec in program.blocks if rec.constant}
     e_arg: List[int] = []
     e_pos: List[Optional[jax.Array]] = []
     f_pos: List[Tuple[Optional[jax.Array], ...]] = []
@@ -180,8 +181,11 @@ def build_schur_structure(
         for j in range(fam.block_ids.shape[1]):
             col = fam.block_ids[:, j]
             in_e = np.asarray([int(p) in e_set for p in col])
+            is_const = np.asarray([int(p) in const_set for p in col])
             if in_e.any():
-                if not in_e.all():
+                # Constant blocks are variable-free: they may share an
+                # e-column (their contributions drop at the dummy index).
+                if not np.all(in_e | is_const):
                     raise ValueError(
                         "mixed e/f blocks in one family argument position; "
                         "regroup the problem or provide an explicit ordering"
@@ -194,7 +198,8 @@ def build_schur_structure(
                 ea = j
                 ep = jnp.asarray(
                     np.asarray(
-                        [point_index[int(p)] for p in col], dtype=np.int32
+                        [point_index.get(int(p), P) for p in col],
+                        dtype=np.int32,
                     )
                 )
         e_arg.append(ea)
@@ -441,6 +446,11 @@ class SchurOperator:
                 (c, True), jnp.eye(ss.e_tangent_size, dtype=self.dtype)
             )
         )(self._ete_chol)
+        # zero row at index P: instances whose e-slot is a constant block
+        # (e_pos == num_points) must contribute no correction
+        inv_ete = jnp.concatenate(
+            [inv_ete, jnp.zeros((1,) + inv_ete.shape[1:], inv_ete.dtype)]
+        )
         for fi, fam in enumerate(ctx.families):
             ea = ss.e_arg[fi]
             for j in range(fam.num_args):
