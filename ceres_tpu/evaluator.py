@@ -98,13 +98,49 @@ def family_residuals(family: Family, x: jax.Array) -> jax.Array:
     """Raw residuals (B, r)."""
     st = family.structure
     blocks = tuple(x[idx] for idx in family.ambient_idx)
-    if st.has_data:
+    B = family.batch
+    bucket = EVAL_BUCKET_SIZE
+    if bucket > 0 and B > bucket and B % bucket == 0:
+        k = B // bucket
+
+        def shard(a):
+            return a.reshape((k, bucket) + a.shape[1:])
+
+        blocks_b = tuple(shard(b) for b in blocks)
+        data_b = (
+            jax.tree_util.tree_map(shard, family.data)
+            if st.has_data
+            else None
+        )
+
+        def one_bucket(args):
+            bs, data = args
+            if st.has_data:
+                return jax.vmap(lambda b_, d_: st.fn(*b_, d_))(bs, data)
+            return jax.vmap(lambda b_: st.fn(*b_))(bs)
+
+        r = jax.lax.map(one_bucket, (blocks_b, data_b))
+        r = r.reshape((B,) + r.shape[2:])
+    elif st.has_data:
         r = jax.vmap(lambda bs, d: st.fn(*bs, d))(blocks, family.data)
     else:
         r = jax.vmap(lambda bs: st.fn(*bs))(blocks)
     if family.mask is not None:
         r = r * family.mask[:, None]
     return r
+
+
+# Bucketed evaluation: XLA compile time for the fused vmap(jacfwd(...))
+# evaluation grows superlinearly with the batch size on the TPU remote
+# compiler (measured: 24s at 84k rows, >40min at 500k). Splitting the
+# batch into fixed-size buckets evaluated with lax.map compiles ONE
+# bucket body — compile cost becomes independent of problem size, at a
+# small dispatch overhead per bucket. Enabled per-family when the batch
+# divides the bucket size; ``bucket_program`` pads families to make it
+# so (SURVEY.md §7 hard part (a): pad/bucket vs recompile).
+EVAL_BUCKET_SIZE = int(
+    __import__("os").environ.get("CERES_TPU_EVAL_BUCKET", "131072")
+)
 
 
 def family_residuals_and_jacobians(
@@ -116,9 +152,6 @@ def family_residuals_and_jacobians(
     st = family.structure
     inst = _instance_fn(st)
     blocks = tuple(x[idx] for idx in family.ambient_idx)
-    zeros = tuple(
-        jnp.zeros((family.batch, t), dtype=x.dtype) for t in st.tangent_sizes
-    )
 
     def res_and_jac(bs, ds, data):
         def f(deltas):
@@ -128,9 +161,40 @@ def family_residuals_and_jacobians(
         J, r = jax.jacfwd(f, has_aux=True)(ds)
         return r, J
 
-    r, jacs = jax.vmap(res_and_jac, in_axes=(0, 0, 0 if st.has_data else None))(
-        blocks, zeros, family.data
-    )
+    B = family.batch
+    bucket = EVAL_BUCKET_SIZE
+    if bucket > 0 and B > bucket and B % bucket == 0:
+        k = B // bucket
+
+        def shard(a):
+            return a.reshape((k, bucket) + a.shape[1:])
+
+        blocks_b = tuple(shard(b) for b in blocks)
+        data_b = (
+            jax.tree_util.tree_map(shard, family.data)
+            if st.has_data
+            else None
+        )
+        zeros = tuple(
+            jnp.zeros((bucket, t), dtype=x.dtype) for t in st.tangent_sizes
+        )
+
+        def one_bucket(args):
+            bs, data = args
+            return jax.vmap(
+                res_and_jac, in_axes=(0, 0, 0 if st.has_data else None)
+            )(bs, zeros, data)
+
+        r, jacs = jax.lax.map(one_bucket, (blocks_b, data_b))
+        r = r.reshape((B,) + r.shape[2:])
+        jacs = tuple(J.reshape((B,) + J.shape[2:]) for J in jacs)
+    else:
+        zeros = tuple(
+            jnp.zeros((B, t), dtype=x.dtype) for t in st.tangent_sizes
+        )
+        r, jacs = jax.vmap(
+            res_and_jac, in_axes=(0, 0, 0 if st.has_data else None)
+        )(blocks, zeros, family.data)
     if family.mask is not None:
         m = family.mask
         r = r * m[:, None]

@@ -143,6 +143,23 @@ def _shard_family(fam: Family, mesh: Mesh, axis_name: str) -> Family:
     )
 
 
+def bucket_program(program: Program, bucket_size: Optional[int] = None):
+    """Pad each family batch to a multiple of the evaluation bucket so
+    large problems compile one fixed-size bucket body (see
+    evaluator.EVAL_BUCKET_SIZE) instead of a problem-sized graph."""
+    from ceres_tpu import evaluator as _ev
+
+    b = bucket_size or _ev.EVAL_BUCKET_SIZE
+    if b <= 0:
+        return program
+    program.families = [
+        pad_family(f, b) if f.batch > b else f for f in program.families
+    ]
+    if hasattr(program, "_schur_structure"):
+        del program._schur_structure
+    return program
+
+
 def replicate(x: jax.Array, mesh: Mesh) -> jax.Array:
     """Replicate an array over the whole mesh (the parameter vector)."""
     return jax.device_put(x, NamedSharding(mesh, P()))
