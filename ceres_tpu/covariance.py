@@ -104,9 +104,16 @@ class Covariance:
             eps = opts.min_reciprocal_condition_number
             inv_s2 = np.zeros_like(s)
             for i in range(n):
-                keep = i < n - opts.null_space_rank
-                if opts.null_space_rank == 0:
+                if opts.null_space_rank < 0:
+                    # covariance_impl.cc: null_space_rank = -1 means drop
+                    # every singular value below the automatic threshold.
                     keep = s[i] > np.sqrt(eps) * max_sv if max_sv > 0 else False
+                    if not keep:
+                        continue
+                elif opts.null_space_rank == 0:
+                    keep = s[i] > np.sqrt(eps) * max_sv if max_sv > 0 else False
+                else:
+                    keep = i < n - opts.null_space_rank
                 if keep and s[i] > 0:
                     inv_s2[i] = 1.0 / (s[i] * s[i])
                 elif opts.null_space_rank == 0 and s[i] <= np.sqrt(eps) * max_sv:
@@ -172,12 +179,12 @@ class Covariance:
             # freedom) has singular S — refuse like the reference refuses
             # rank deficiency without null_space_rank
             # (covariance_impl.cc:705-760).
-            np.linalg.cholesky(
-                S
-                + np.eye(S.shape[0])
-                * (self.options.min_reciprocal_condition_number * 0.0)
-            )
+            np.linalg.cholesky(S)
             rcond = np.min(diag) / np.max(diag)
+            if rcond < self.options.min_reciprocal_condition_number:
+                # Conditioning gate matching the reference's rank /
+                # min_reciprocal_condition_number refusal.
+                return False
             S_inv = np.linalg.inv(S)
             # residual check catches numerically singular S
             err = np.linalg.norm(S @ S_inv - np.eye(S.shape[0]), ord=np.inf)

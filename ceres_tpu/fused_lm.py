@@ -149,7 +149,10 @@ def _fused_minimize(
         func_tol = step_is_valid & (
             cost_change <= config.function_tolerance * cost
         )
-        grad_tol = accept & (gmax <= config.gradient_tolerance)
+        # Tested unconditionally at the loop-top iterate (like the host
+        # minimizer): a converged point whose trailing steps are rejected
+        # still terminates with CONVERGENCE, not min-radius/NO_CONVERGENCE.
+        grad_tol = gmax <= config.gradient_tolerance
         radius_tol = radius <= config.min_trust_region_radius
         too_invalid = invalid_in_a_row >= config.max_invalid_steps
 

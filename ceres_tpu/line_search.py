@@ -177,10 +177,11 @@ def wolfe_search(
         if cur.gradient >= 0:
             bracket_lo, bracket_hi = cur, prev
             break
+        prev_a = 0.0 if i == 0 else prev.a
         prev = cur
         a = min(
             options.max_line_search_step_expansion * a,
-            a + (a - (0.0 if i == 0 else prev.a)) * 4.0,
+            a + (a - prev_a) * 4.0,
         )
     if bracket_lo is None:
         return prev if prev is not phi0 and sufficient_decrease(prev) else None

@@ -61,19 +61,37 @@ def _pad_batch(a: jax.Array, pad: int) -> jax.Array:
     return jnp.concatenate([a, rep], axis=0)
 
 
-def pad_family(fam: Family, multiple: int) -> Family:
+def _family_float_dtype(fam: Family, dtype=None):
+    """The dtype validity masks must use: the program's evaluation dtype.
+
+    A float64 mask silently promotes every masked residual/Jacobian product
+    to f64 — on TPU that means the whole pipeline runs in emulated f64.
+    Infer from the existing mask, then any float data leaf, else f64."""
+    if dtype is not None:
+        return jnp.dtype(dtype)
+    if fam.mask is not None:
+        return fam.mask.dtype
+    if fam.data is not None:
+        for leaf in jax.tree_util.tree_leaves(fam.data):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jnp.floating
+            ):
+                return leaf.dtype
+    return jnp.dtype(jnp.float64)
+
+
+def pad_family(fam: Family, multiple: int, dtype=None) -> Family:
     """Pad a family's batch to a multiple; padded rows carry mask 0."""
     B = fam.batch
     Bp = int(math.ceil(B / multiple) * multiple)
     if Bp == B and fam.mask is None:
         return fam
     pad = Bp - B
+    mdt = _family_float_dtype(fam, dtype)
     mask = jnp.concatenate(
         [
-            jnp.ones((B,), jnp.float64)
-            if fam.mask is None
-            else fam.mask,
-            jnp.zeros((pad,), jnp.float64),
+            jnp.ones((B,), mdt) if fam.mask is None else fam.mask.astype(mdt),
+            jnp.zeros((pad,), mdt),
         ]
     )
     loss = fam.loss
@@ -152,8 +170,10 @@ def bucket_program(program: Program, bucket_size: Optional[int] = None):
     b = bucket_size or _ev.EVAL_BUCKET_SIZE
     if b <= 0:
         return program
+    dt = getattr(program, "eval_dtype", None)
     program.families = [
-        pad_family(f, b) if f.batch > b else f for f in program.families
+        pad_family(f, b, dtype=dt) if f.batch > b else f
+        for f in program.families
     ]
     if hasattr(program, "_schur_structure"):
         del program._schur_structure
@@ -177,8 +197,9 @@ def shard_program(
     ``Context::EnsureMinimumThreads`` + ``ParallelFor``.
     """
     n = mesh.shape[axis_name]
+    dt = getattr(program, "eval_dtype", None)
     program.families = [
-        _shard_family(pad_family(f, n), mesh, axis_name)
+        _shard_family(pad_family(f, n, dtype=dt), mesh, axis_name)
         for f in program.families
     ]
     program.mesh = mesh
