@@ -155,13 +155,18 @@ class Covariance:
         on success/failure, or None to fall through to the dense path."""
         import jax.numpy as jnp
 
-        from ceres_tpu.linear.schur import SchurOperator, build_schur_structure
+        from ceres_tpu.linear.schur import (
+            SchurOperator,
+            build_schur_structure,
+            ensure_explicit_plan,
+        )
 
         try:
             ss = getattr(program, "_schur_structure", None)
             if ss is None:
                 ss = build_schur_structure(program)
                 program._schur_structure = ss
+            ensure_explicit_plan(program, ss)
         except ValueError:
             return None  # no Schur structure — dense path
         ctx = full.jacobian_context

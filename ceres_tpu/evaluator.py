@@ -46,14 +46,22 @@ from ceres_tpu.problem import Family, Program
 
 
 def _family_flatten(f: Family):
-    children = (f.ambient_idx, f.tangent_idx, f.data, f.loss, f.bd_pos, f.mask)
+    children = (
+        f.ambient_idx,
+        f.tangent_idx,
+        f.data,
+        f.loss,
+        f.bd_pos,
+        f.mask,
+        f.reduce_plans,
+    )
     aux = (f.structure, f.batch)
     return children, aux
 
 
 def _family_unflatten(aux, children):
     structure, batch = aux
-    ambient_idx, tangent_idx, data, loss, bd_pos, mask = children
+    ambient_idx, tangent_idx, data, loss, bd_pos, mask, reduce_plans = children
     return Family(
         structure=structure,
         loss=loss,
@@ -65,6 +73,7 @@ def _family_unflatten(aux, children):
         block_ids=None,
         bd_pos=bd_pos,
         mask=mask,
+        reduce_plans=reduce_plans,
     )
 
 
@@ -243,26 +252,80 @@ class JacobianContext:
     jacs: Tuple[Tuple[jax.Array, ...], ...]
     residuals: Tuple[jax.Array, ...]
     num_tangent: int
+    # Block-diagonal group coordinates {tangent_size: (G_T, T) int32}
+    # (Program.jnp_bd_groups). When present (and families carry
+    # reduce_plans), the transpose products run plan-based — one-hot
+    # matmuls / ELL gathers + a single unique-index scatter — instead of
+    # colliding scatter-adds (the TPU scatter is near-serial per collision).
+    groups: Optional[dict] = None
 
     def tree_flatten(self):
-        return (self.families, self.jacs, self.residuals), (self.num_tangent,)
+        return (self.families, self.jacs, self.residuals, self.groups), (
+            self.num_tangent,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        families, jacs, residuals = children
-        return cls(families, jacs, residuals, aux[0])
+        families, jacs, residuals, groups = children
+        return cls(families, jacs, residuals, aux[0], groups)
 
     # -- core products (all pure) ------------------------------------------
 
     def _gather_tangent(self, v_pad: jax.Array, fi: int, j: int) -> jax.Array:
         return v_pad[self.families[fi].tangent_idx[j]]
 
+    def _grouped(self) -> bool:
+        return self.groups is not None and all(
+            f.reduce_plans is not None for f in self.families
+        )
+
+    def _group_pad(self, v: jax.Array) -> dict:
+        """Flat tangent vector -> {T: (G_T+1, T)} grouped view (+ zero
+        dummy row for constant blocks / padding)."""
+        out = {}
+        for T, idx in self.groups.items():
+            out[T] = jnp.concatenate(
+                [v[idx], jnp.zeros((1, T), v.dtype)], axis=0
+            )
+        return out
+
+    def _ungroup_add(self, acc: dict, dtype) -> jax.Array:
+        """{T: (G_T+1, T)} group sums -> flat tangent vector (rows are
+        disjoint coordinate sets, so the scatter is unique-index)."""
+        g = jnp.zeros((self.num_tangent,), dtype=dtype)
+        for T, a in acc.items():
+            idx = self.groups[T]
+            g = g.at[idx].add(
+                a[: idx.shape[0]], mode="drop", unique_indices=True
+            )
+        return g
+
     def matvec(self, v: jax.Array) -> Tuple[jax.Array, ...]:
         """J v -> per-family residual-space blocks (B, r).
 
         Analog of BlockSparseMatrix::RightMultiplyAndAccumulate
-        (block_sparse_matrix.cc:239).
+        (block_sparse_matrix.cc:239). Grouped path: one row-gather per
+        size group + per-instance row gathers (slice gathers beat
+        elementwise gathers on TPU).
         """
+        if self._grouped():
+            vg = self._group_pad(v)
+            out = []
+            for fi, fam in enumerate(self.families):
+                acc = jnp.zeros(
+                    (fam.batch, fam.residual_size), dtype=v.dtype
+                )
+                for j in range(fam.num_args):
+                    T = fam.structure.tangent_sizes[j]
+                    if T in vg:
+                        vj = vg[T][fam.bd_pos[j]]  # (B, T_j) row gather
+                    else:
+                        vj = jnp.zeros((fam.batch, T), v.dtype)
+                    acc = acc + jnp.einsum(
+                        "brt,bt->br", self.jacs[fi][j], vj
+                    )
+                out.append(acc)
+            return tuple(out)
         v_pad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
         out = []
         for fi, fam in enumerate(self.families):
@@ -279,8 +342,24 @@ class JacobianContext:
         """J^T w for per-family residual-space blocks -> tangent vector.
 
         Analog of LeftMultiplyAndAccumulate; the per-thread accumulation +
-        locks of the reference become one scatter-add.
+        locks of the reference become plan-based segment reductions
+        (ceres_tpu.ops.reduce) + one unique-index scatter per size group.
         """
+        if self._grouped():
+            from ceres_tpu.ops.reduce import apply_reduce
+
+            acc: dict = {}
+            for fi, fam in enumerate(self.families):
+                for j in range(fam.num_args):
+                    T = fam.structure.tangent_sizes[j]
+                    if T not in self.groups:
+                        continue  # all blocks of this size are constant
+                    contrib = jnp.einsum(
+                        "brt,br->bt", self.jacs[fi][j], w[fi]
+                    )
+                    red = apply_reduce(fam.reduce_plans[j], contrib)
+                    acc[T] = red if T not in acc else acc[T] + red
+            return self._ungroup_add(acc, w[0].dtype)
         g = jnp.zeros((self.num_tangent,), dtype=w[0].dtype)
         for fi, fam in enumerate(self.families):
             for j in range(fam.num_args):
@@ -302,6 +381,19 @@ class JacobianContext:
 
     def squared_column_norms(self) -> jax.Array:
         """diag(J^T J) (BlockSparseMatrix::SquaredColumnNorm)."""
+        if self._grouped():
+            from ceres_tpu.ops.reduce import apply_reduce
+
+            acc: dict = {}
+            for fi, fam in enumerate(self.families):
+                for j in range(fam.num_args):
+                    T = fam.structure.tangent_sizes[j]
+                    if T not in self.groups:
+                        continue
+                    contrib = jnp.sum(self.jacs[fi][j] ** 2, axis=1)
+                    red = apply_reduce(fam.reduce_plans[j], contrib)
+                    acc[T] = red if T not in acc else acc[T] + red
+            return self._ungroup_add(acc, self.dtype)
         d = jnp.zeros((self.num_tangent,), dtype=self.dtype)
         for fi, fam in enumerate(self.families):
             for j in range(fam.num_args):
@@ -313,16 +405,35 @@ class JacobianContext:
         """Return a context with columns scaled (ScaleColumns,
         block_sparse_matrix.cc; used for Jacobi scaling,
         trust_region_minimizer.cc:263-279)."""
-        s_pad = jnp.concatenate([scale, jnp.ones((1,), scale.dtype)])
+        sg = None
+        if self._grouped():
+            sg = {}
+            for T, idx in self.groups.items():
+                sg[T] = jnp.concatenate(
+                    [scale[idx], jnp.ones((1, T), scale.dtype)], axis=0
+                )
+        else:
+            s_pad = jnp.concatenate([scale, jnp.ones((1,), scale.dtype)])
         new_jacs = []
         for fi, fam in enumerate(self.families):
             js = []
             for j in range(fam.num_args):
-                sj = s_pad[fam.tangent_idx[j]]  # (B, T_j)
+                T = fam.structure.tangent_sizes[j]
+                if sg is not None:
+                    if T in sg:
+                        sj = sg[T][fam.bd_pos[j]]  # (B, T_j) row gather
+                    else:
+                        sj = jnp.ones((fam.batch, T), scale.dtype)
+                else:
+                    sj = s_pad[fam.tangent_idx[j]]  # (B, T_j)
                 js.append(self.jacs[fi][j] * sj[:, None, :])
             new_jacs.append(tuple(js))
         return JacobianContext(
-            self.families, tuple(new_jacs), self.residuals, self.num_tangent
+            self.families,
+            tuple(new_jacs),
+            self.residuals,
+            self.num_tangent,
+            self.groups,
         )
 
     def block_jtj(self, group_sizes) -> dict:
@@ -338,6 +449,9 @@ class JacobianContext:
             T: jnp.zeros((G, T, T), dtype=self.dtype)
             for T, G in group_sizes.items()
         }
+        use_plans = all(f.reduce_plans is not None for f in self.families)
+        if use_plans:
+            from ceres_tpu.ops.reduce import apply_reduce
         for fi, fam in enumerate(self.families):
             for j in range(fam.num_args):
                 T = fam.structure.tangent_sizes[j]
@@ -345,7 +459,13 @@ class JacobianContext:
                     continue
                 Jj = self.jacs[fi][j]
                 contrib = jnp.einsum("bri,brj->bij", Jj, Jj)
-                out[T] = out[T].at[fam.bd_pos[j]].add(contrib, mode="drop")
+                if use_plans:
+                    red = apply_reduce(fam.reduce_plans[j], contrib)
+                    out[T] = out[T] + red[: out[T].shape[0]]
+                else:
+                    out[T] = out[T].at[fam.bd_pos[j]].add(
+                        contrib, mode="drop"
+                    )
         return out
 
     def residual_vector(self) -> jax.Array:
@@ -410,9 +530,10 @@ class Evaluator:
         # Bound entry points with the static arguments filled in.
         nt = program.num_tangent
         al = apply_loss_function
+        grp = program.jnp_bd_groups()
         self._cost_fn = lambda x, fams: _cost_impl(x, fams, al)
         self._residuals_fn = lambda x, fams: _residuals_impl(x, fams, al)
-        self._full_fn = lambda x, fams: _full_impl(x, fams, al, nt)
+        self._full_fn = lambda x, fams: _full_impl(x, fams, al, nt, grp)
         self._cost_grad_fn = lambda x, fams, ps: _cost_grad_impl(
             x, fams, ps, al, nt
         )
@@ -482,7 +603,7 @@ def _residuals_impl(x, families, apply_loss):
 
 
 @functools.partial(jax.jit, static_argnames=("apply_loss", "num_tangent"))
-def _full_impl(x, families, apply_loss, num_tangent):
+def _full_impl(x, families, apply_loss, num_tangent, groups=None):
     cost = jnp.asarray(0.0, dtype=jnp.float64)
     all_jacs = []
     all_res = []
@@ -496,7 +617,7 @@ def _full_impl(x, families, apply_loss, num_tangent):
         all_jacs.append(tuple(jacs))
         all_res.append(r)
     ctx = JacobianContext(
-        list(families), tuple(all_jacs), tuple(all_res), num_tangent
+        list(families), tuple(all_jacs), tuple(all_res), num_tangent, groups
     )
     grad = ctx.gradient()
     return cost, grad, ctx

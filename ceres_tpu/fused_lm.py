@@ -73,14 +73,22 @@ class _FusedConfig:
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _fused_minimize(
-    x0, families, plus_struct, solve_aux, max_num_iterations, config: _FusedConfig
+    x0,
+    families,
+    plus_struct,
+    solve_aux,
+    max_num_iterations,
+    config: _FusedConfig,
+    groups=None,
 ):
     # max_num_iterations is a DEVICE scalar (not static): warm-up solves
     # with a different budget share the compiled while_loop.
     sc = config.solve
 
     def eval_full(x):
-        return _full_impl(x, families, config.apply_loss, config.num_tangent)
+        return _full_impl(
+            x, families, config.apply_loss, config.num_tangent, groups
+        )
 
     cost0, grad0, _ = eval_full(x0)
 
@@ -253,6 +261,7 @@ def fused_solve(options, problem):
         solve_aux,
         jnp.asarray(resolved.max_num_iterations, jnp.int32),
         config,
+        program.jnp_bd_groups(),
     )
     (x, cost, term, iters, succ, unsucc, c0) = jax.device_get(
         (

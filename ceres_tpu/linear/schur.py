@@ -107,13 +107,23 @@ class SchurStructure:
     # (single-linkage over shared e-blocks): (C, m) tangent coordinate
     # index matrix padded with num_tangent, or None.
     cluster_groups: Optional[jax.Array] = None
+    # Segment-reduction plans (ceres_tpu.ops.reduce): per family for the
+    # point (e) reductions, per family/arg for the camera (f) block
+    # reductions — the scatter-free analog of the eliminator's per-chunk
+    # accumulation (schur_eliminator_impl.h:228-330).
+    e_plan: Optional[Tuple] = None
+    f_plan: Optional[Tuple] = None
+    # One-pass explicit assembly plan (schur_explicit.ExplicitSchurPlan),
+    # built on demand for DENSE/SPARSE_SCHUR, explicit-S ITERATIVE_SCHUR
+    # and Schur-marginal covariance.
+    explicit: Optional[object] = None
 
 
 jax.tree_util.register_dataclass(
     SchurStructure,
     data_fields=[
         "e_group", "f_mask", "f_idx", "e_pos", "f_groups", "f_pos",
-        "cluster_groups",
+        "cluster_groups", "e_plan", "f_plan", "explicit",
     ],
     meta_fields=["num_points", "e_tangent_size", "e_arg"],
 )
@@ -124,6 +134,7 @@ def build_schur_structure(
     ordering: Optional[List[int]] = None,
     with_clusters: bool = False,
     cluster_threshold: float = 0.1,
+    with_explicit: bool = False,
 ) -> SchurStructure:
     """Build the index structure; ordering overrides the automatic one
     (the user elimination-group hint, include/ceres/ordered_groups.h).
@@ -231,7 +242,30 @@ def build_schur_structure(
             program, e_set, point_index, f_pos_of_pid, cluster_threshold
         )
 
-    return SchurStructure(
+    # Scatter-free reduction plans (one-hot matmul / ELL gather+sum).
+    from ceres_tpu.ops.reduce import build_reduce_plan
+
+    e_plan = tuple(
+        build_reduce_plan(np.asarray(ep), P) if ep is not None else None
+        for ep in e_pos
+    )
+    f_plan = []
+    for fi, fam in enumerate(program.families):
+        plans = []
+        for j in range(fam.block_ids.shape[1]):
+            fp = f_pos[fi][j]
+            if fp is None:
+                plans.append(None)
+            else:
+                T = fam.structure.tangent_sizes[j]
+                plans.append(
+                    build_reduce_plan(
+                        np.asarray(fp), f_group_sizes.get(T, 0)
+                    )
+                )
+        f_plan.append(tuple(plans))
+
+    ss = SchurStructure(
         num_points=P,
         e_tangent_size=Te,
         e_group=jnp.asarray(e_group),
@@ -242,7 +276,23 @@ def build_schur_structure(
         f_groups=f_groups,
         f_pos=tuple(f_pos),
         cluster_groups=cluster_groups,
+        e_plan=e_plan,
+        f_plan=tuple(f_plan),
     )
+    if with_explicit:
+        from ceres_tpu.linear.schur_explicit import build_explicit_plan
+
+        ss.explicit = build_explicit_plan(program, ss)
+    return ss
+
+
+def ensure_explicit_plan(program, ss: SchurStructure) -> SchurStructure:
+    """Attach the one-pass assembly plan to ``ss`` if missing."""
+    if ss.explicit is None:
+        from ceres_tpu.linear.schur_explicit import build_explicit_plan
+
+        ss.explicit = build_explicit_plan(program, ss)
+    return ss
 
 
 def _build_cluster_groups(
@@ -337,12 +387,25 @@ class SchurOperator:
                 continue
             E = ctx.jacs[fi][ea]  # (B, r, Te)
             contrib = jnp.einsum("bri,brj->bij", E, E)
-            ete = ete.at[ss.e_pos[fi]].add(contrib, mode="drop")
+            ete = ete + self._reduce_e(fi, contrib)
         De = D[ss.e_group]  # (P, Te)
         ete = ete + jax.vmap(jnp.diag)(De * De)
         self._ete_chol = jax.vmap(
             lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0]
         )(ete)
+
+    def _reduce_e(self, fi: int, contrib: jax.Array) -> jax.Array:
+        """Sum per-instance contributions into per-point slots (P, ...):
+        plan-based when available, scatter-add fallback."""
+        ss = self.ss
+        if ss.e_plan is not None and ss.e_plan[fi] is not None:
+            from ceres_tpu.ops.reduce import apply_reduce
+
+            return apply_reduce(ss.e_plan[fi], contrib)[: ss.num_points]
+        out = jnp.zeros(
+            (ss.num_points,) + contrib.shape[1:], dtype=contrib.dtype
+        )
+        return out.at[ss.e_pos[fi]].add(contrib, mode="drop")
 
     # -- primitive products -------------------------------------------------
 
@@ -357,8 +420,8 @@ class SchurOperator:
             if ea < 0:
                 continue
             E = ctx.jacs[fi][ea]
-            t = t.at[ss.e_pos[fi]].add(
-                jnp.einsum("bri,br->bi", E, w[fi]), mode="drop"
+            t = t + self._reduce_e(
+                fi, jnp.einsum("bri,br->bi", E, w[fi])
             )
         return t
 
@@ -371,7 +434,7 @@ class SchurOperator:
     def _embed_e(self, u: jax.Array) -> jax.Array:
         """(P, Te) point vector -> full tangent vector (zero on f)."""
         z = jnp.zeros((self.ctx.num_tangent,), dtype=self.dtype)
-        return z.at[self.ss.e_group].set(u)
+        return z.at[self.ss.e_group].set(u, unique_indices=True)
 
     # -- Schur products (implicit_schur_complement.cc:106-145) --------------
 
@@ -451,6 +514,8 @@ class SchurOperator:
         inv_ete = jnp.concatenate(
             [inv_ete, jnp.zeros((1,) + inv_ete.shape[1:], inv_ete.dtype)]
         )
+        from ceres_tpu.ops.reduce import apply_reduce
+
         for fi, fam in enumerate(ctx.families):
             ea = ss.e_arg[fi]
             for j in range(fam.num_args):
@@ -467,7 +532,17 @@ class SchurOperator:
                     Minv = inv_ete[ss.e_pos[fi]]  # (B, Te, Te)
                     corr = jnp.einsum("bei,bef,bfj->bij", EtF, Minv, EtF)
                     contrib = contrib - corr
-                out[T] = out[T].at[ss.f_pos[fi][j]].add(contrib, mode="drop")
+                if ss.f_plan is not None and ss.f_plan[fi][j] is not None:
+                    out[T] = (
+                        out[T]
+                        + apply_reduce(ss.f_plan[fi][j], contrib)[
+                            : out[T].shape[0]
+                        ]
+                    )
+                else:
+                    out[T] = out[T].at[ss.f_pos[fi][j]].add(
+                        contrib, mode="drop"
+                    )
         # Add D^2 on the f diagonal.
         for T, idx in ss.f_groups.items():
             Df = D[idx]
@@ -565,11 +640,29 @@ class SchurOperator:
     def dense_reduced_system(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Materialize S on the f coordinates as a dense matrix.
 
-        Computed as vmap(S . e_i) over the f-coordinate identity columns:
-        one batched XLA computation (the TPU replacement for the chunked
-        explicit eliminator + its 43 generated specializations).
-        Returns (S (nf, nf), rhs (nf,), f_idx (nf,)).
+        One-pass explicit assembly (schur_explicit.assemble_reduced_system,
+        the analog of schur_eliminator_impl.h:177-330) when the structure
+        carries an assembly plan; falls back to probing S column-by-column
+        with vmap(S . e_i) otherwise. Returns (S (nf, nf), rhs (nf,),
+        f_idx (nf,)).
         """
+        ss = self.ss
+        if ss.explicit is not None:
+            from ceres_tpu.linear.schur_explicit import (
+                assemble_reduced_system,
+            )
+
+            S = assemble_reduced_system(self, ss.explicit)
+            rhs = self.rhs()[ss.f_idx]
+            return S, rhs, ss.f_idx
+        return self.dense_reduced_system_probe()
+
+    def dense_reduced_system_probe(
+        self,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Reference/debug path: S via vmap(S . e_i) identity probes —
+        O(nf) full Jacobian passes; kept for cross-checking the one-pass
+        assembler (cross-implementation equivalence, SURVEY §4.4)."""
         ss = self.ss
         f_idx = ss.f_idx
         n = self.ctx.num_tangent
@@ -608,6 +701,11 @@ def solve_schur(
         if ss is None:
             ss = build_schur_structure(program)
             program._schur_structure = ss
+        if options.linear_solver_type in (
+            LinearSolverType.DENSE_SCHUR,
+            LinearSolverType.SPARSE_SCHUR,
+        ) or getattr(options, "use_explicit_schur_complement", False):
+            ensure_explicit_plan(program, ss)
 
     op = SchurOperator(ctx, D, ss)
     lst = options.linear_solver_type

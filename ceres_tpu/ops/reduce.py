@@ -1,0 +1,129 @@
+"""Segment-reduction plans: TPU-fast replacements for scatter-add.
+
+The reference accumulates per-residual contributions into shared matrices
+behind locks (``internal/ceres/block_random_access_matrix.h``,
+``program_evaluator.h:266-304`` per-thread gradient buffers,
+``schur_eliminator_impl.h:228-330`` ``rhs_locks_``). The naive functional
+analog — ``out.at[idx].add(contrib)`` with colliding indices — lowers to an
+XLA scatter, which TPUs execute (nearly) serially per colliding index and
+is the dominant cost of a BAL solve.
+
+A ``ReducePlan`` is built ONCE on the host from the integer segment ids and
+turns every such accumulation into dense, compiler-friendly work:
+
+- ``onehot``: contributions are reduced with one matmul against a
+  precomputed one-hot matrix — the contraction rides the MXU. Used when
+  the number of groups is small (e.g. BA cameras).
+- ``ell``: an ELL-style padded adjacency — for each group, the (padded)
+  list of contributing batch rows; reduction = row gather + sum. Used when
+  groups are many but the per-group fan-in is bounded (e.g. BA points:
+  observations per point <= number of cameras).
+- ``scatter``: fallback to scatter-add for pathological fan-in skew.
+
+All plans reduce a ``(B, ...)`` contribution array to ``(G+1, ...)`` where
+row ``G`` is the dummy group (contributions to drop: constant blocks,
+padded instances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Tuning thresholds (host-side heuristics, see build_reduce_plan).
+ONEHOT_MAX_GROUPS = 288  # one-hot matmul: B x (G+1) operand stays small
+ELL_MAX_WASTE = 8.0  # ELL padding waste factor bound vs perfect packing
+ELL_MAX_FANIN = 4096  # hard bound on padded per-group fan-in
+
+
+@dataclasses.dataclass(frozen=True)
+class ReducePlan:
+    """Host-built plan reducing (B, ...) by segment id to (G+1, ...)."""
+
+    kind: str
+    num_groups: int
+    # onehot: (G+1, B) in int8 (cast to the contribution dtype at apply).
+    onehot: Optional[jax.Array] = None
+    # ell: (G+1, K) int32 rows into the padded (B+1) batch; pad value B.
+    ell: Optional[jax.Array] = None
+    # scatter fallback: (B,) int32 segment ids (dummy = G).
+    seg: Optional[jax.Array] = None
+
+
+jax.tree_util.register_dataclass(
+    ReducePlan,
+    data_fields=["onehot", "ell", "seg"],
+    meta_fields=["kind", "num_groups"],
+)
+
+
+def build_reduce_plan(
+    seg_ids: np.ndarray,
+    num_groups: int,
+    onehot_max_groups: int = ONEHOT_MAX_GROUPS,
+) -> ReducePlan:
+    """Build a plan for reducing B rows into ``num_groups`` groups.
+
+    ``seg_ids`` is (B,) int; ids outside [0, num_groups) go to the dummy
+    group (dropped by convention — callers slice ``[:G]``).
+    """
+    seg = np.asarray(seg_ids, dtype=np.int64).reshape(-1)
+    B = seg.shape[0]
+    G = int(num_groups)
+    seg = np.where((seg < 0) | (seg >= G), G, seg)
+
+    if G + 1 <= onehot_max_groups:
+        onehot = np.zeros((G + 1, B), dtype=np.int8)
+        onehot[seg, np.arange(B)] = 1
+        return ReducePlan(
+            kind="onehot", num_groups=G, onehot=jnp.asarray(onehot)
+        )
+
+    counts = np.bincount(seg, minlength=G + 1)
+    kmax = int(counts[:G].max()) if G > 0 else 0
+    waste_ok = G == 0 or (
+        kmax * G <= ELL_MAX_WASTE * max(int(counts[:G].sum()), 1)
+    )
+    if kmax <= ELL_MAX_FANIN and waste_ok:
+        ell = np.full((G + 1, max(kmax, 1)), B, dtype=np.int32)
+        order = np.argsort(seg, kind="stable")
+        sorted_seg = seg[order]
+        starts = np.searchsorted(sorted_seg, np.arange(G + 1))
+        rank = np.arange(B, dtype=np.int64) - starts[sorted_seg]
+        valid = sorted_seg < G
+        ell[sorted_seg[valid], rank[valid]] = order[valid]
+        return ReducePlan(kind="ell", num_groups=G, ell=jnp.asarray(ell))
+
+    return ReducePlan(
+        kind="scatter", num_groups=G, seg=jnp.asarray(seg.astype(np.int32))
+    )
+
+
+def apply_reduce(plan: ReducePlan, contrib: jax.Array) -> jax.Array:
+    """Reduce (B, ...) contributions to (G+1, ...) group sums.
+
+    The trailing row (index G) is the dummy group and should be dropped by
+    the caller (it holds constant-block / padding contributions).
+    """
+    B = contrib.shape[0]
+    tail = contrib.shape[1:]
+    G = plan.num_groups
+    if plan.kind == "onehot":
+        flat = contrib.reshape(B, -1)
+        out = jnp.matmul(
+            plan.onehot.astype(contrib.dtype),
+            flat,
+            preferred_element_type=flat.dtype,
+        )
+        return out.reshape((G + 1,) + tail)
+    if plan.kind == "ell":
+        pad = jnp.zeros((1,) + tail, dtype=contrib.dtype)
+        cp = jnp.concatenate([contrib, pad], axis=0)
+        gathered = cp[plan.ell]  # (G+1, K, ...)
+        return jnp.sum(gathered, axis=1)
+    out = jnp.zeros((G + 1,) + tail, dtype=contrib.dtype)
+    return out.at[plan.seg].add(contrib, mode="drop")

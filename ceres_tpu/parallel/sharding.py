@@ -103,6 +103,20 @@ def pad_family(fam: Family, multiple: int, dtype=None) -> Family:
             else leaf,
             loss,
         )
+    bd_pos = tuple(_pad_batch(b, pad) for b in fam.bd_pos)
+    # Rebuild the segment-reduction plans for the padded batch. Padded
+    # rows repeat row 0's (valid) group id — harmless, their
+    # contributions are mask-zeroed before any reduction.
+    reduce_plans = None
+    if fam.reduce_plans is not None:
+        from ceres_tpu.ops.reduce import build_reduce_plan
+
+        reduce_plans = tuple(
+            build_reduce_plan(np.asarray(b), p.num_groups)
+            if p is not None
+            else None
+            for b, p in zip(bd_pos, fam.reduce_plans)
+        )
     return Family(
         structure=fam.structure,
         loss=loss,
@@ -120,8 +134,9 @@ def pad_family(fam: Family, multiple: int, dtype=None) -> Family:
         block_ids=None
         if fam.block_ids is None
         else np.concatenate([fam.block_ids, np.repeat(fam.block_ids[:1], pad, 0)]),
-        bd_pos=tuple(_pad_batch(b, pad) for b in fam.bd_pos),
+        bd_pos=bd_pos,
         mask=mask,
+        reduce_plans=reduce_plans,
     )
 
 
@@ -145,6 +160,34 @@ def _shard_family(fam: Family, mesh: Mesh, axis_name: str) -> Family:
             ),
             loss,
         )
+    reduce_plans = None
+    if fam.reduce_plans is not None:
+        from ceres_tpu.ops.reduce import ReducePlan
+
+        def put_plan(p):
+            if p is None:
+                return None
+            if p.kind == "onehot":
+                # (G+1, B): shard the contraction (batch) axis; the
+                # reduction matmul then psums partial group sums — the
+                # GSPMD analog of per-thread accumulation + reduction.
+                oh = jax.device_put(
+                    p.onehot, NamedSharding(mesh, P(None, axis_name))
+                )
+                return ReducePlan(
+                    kind="onehot", num_groups=p.num_groups, onehot=oh
+                )
+            if p.kind == "ell":
+                return ReducePlan(
+                    kind="ell",
+                    num_groups=p.num_groups,
+                    ell=jax.device_put(p.ell, NamedSharding(mesh, P())),
+                )
+            return ReducePlan(
+                kind="scatter", num_groups=p.num_groups, seg=put(p.seg)
+            )
+
+        reduce_plans = tuple(put_plan(p) for p in fam.reduce_plans)
     return Family(
         structure=fam.structure,
         loss=loss,
@@ -158,6 +201,7 @@ def _shard_family(fam: Family, mesh: Mesh, axis_name: str) -> Family:
         block_ids=fam.block_ids,
         bd_pos=tuple(put(b) for b in fam.bd_pos),
         mask=put(fam.mask),
+        reduce_plans=reduce_plans,
     )
 
 

@@ -540,6 +540,14 @@ def _to_crs(ctx):
     )
 
 
+def _build_arg_plan(bd_pos: np.ndarray, num_groups: int):
+    """Segment-reduction plan for one family argument (group = block's row
+    in its block-diagonal size group, dummy = num_groups)."""
+    from ceres_tpu.ops.reduce import build_reduce_plan
+
+    return build_reduce_plan(np.asarray(bd_pos), int(num_groups))
+
+
 @dataclasses.dataclass(frozen=True)
 class FamilyStructure:
     """Static (hashable) part of a residual family."""
@@ -581,6 +589,11 @@ class Family:
     # residuals and jacobian blocks are zeroed in the evaluator so every
     # downstream reduction ignores them. None means all rows are valid.
     mask: Optional[jax.Array] = None
+    # Per-arg segment-reduction plans (ceres_tpu.ops.reduce) turning the
+    # batch -> block-diagonal-group accumulations (gradient, diag(J'J),
+    # block Jacobi) into MXU matmuls / ELL gathers instead of scatter-adds.
+    # None falls back to scatter (built lazily by Program).
+    reduce_plans: Optional[Tuple[Any, ...]] = None
 
     @property
     def residual_size(self) -> int:
@@ -643,6 +656,17 @@ class Program:
         self._build_bounds()
         self._build_plus()
         self._build_families()
+        self._jnp_bd_groups = None
+
+    def jnp_bd_groups(self) -> Dict[int, jax.Array]:
+        """Device copies of the block-diagonal group coordinate matrices
+        {tangent_size: (G_T, T) int32} — the grouped-vector layout used by
+        the plan-based reductions in the evaluator."""
+        if self._jnp_bd_groups is None:
+            self._jnp_bd_groups = {
+                T: jnp.asarray(idx) for T, idx in self.bd_groups.items()
+            }
+        return self._jnp_bd_groups
 
     # -- state vectors ------------------------------------------------------
 
@@ -815,6 +839,7 @@ class Program:
                     )
 
             bd_pos = []
+            reduce_plans = []
             for j in range(k):
                 T = tangent_sizes[j]
                 dummy = self.bd_groups.get(T, np.zeros((0, T))).shape[0]
@@ -826,6 +851,7 @@ class Program:
                     else:
                         pj[i] = self.bd_pos_of_pid[pid][1]
                 bd_pos.append(jnp.asarray(pj))
+                reduce_plans.append(_build_arg_plan(pj, dummy))
 
             residual_size = self._infer_residual_size(fn, sizes, data)
             structure = FamilyStructure(
@@ -848,6 +874,7 @@ class Program:
                     residual_ids=np.asarray([rb.rid for rb in rbs]),
                     block_ids=np.asarray([rb.param_ids for rb in rbs]),
                     bd_pos=tuple(bd_pos),
+                    reduce_plans=tuple(reduce_plans),
                 )
             )
 
@@ -881,7 +908,7 @@ class Program:
                 (m.tangent_size if m is not None else s)
                 for s, m in zip(sizes, manifolds)
             )
-            amb_idx, tan_idx, bd_pos = [], [], []
+            amb_idx, tan_idx, bd_pos, reduce_plans = [], [], [], []
             for j in range(k):
                 col = cols[:, j]
                 aj = amb_off[col][:, None] + np.arange(sizes[j], dtype=np.int64)
@@ -897,6 +924,7 @@ class Program:
                 amb_idx.append(jnp.asarray(aj.astype(np.int32)))
                 tan_idx.append(jnp.asarray(tj.astype(np.int32)))
                 bd_pos.append(jnp.asarray(pj.astype(np.int32)))
+                reduce_plans.append(_build_arg_plan(pj, dummy))
 
             if batch.data is None:
                 data = None
@@ -928,6 +956,7 @@ class Program:
                     residual_ids=batch.rid_base + np.nonzero(keep)[0],
                     block_ids=cols,
                     bd_pos=tuple(bd_pos),
+                    reduce_plans=tuple(reduce_plans),
                 )
             )
         self.families: List[Family] = families

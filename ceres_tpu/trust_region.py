@@ -197,6 +197,10 @@ def _build_solve_aux(options, program: Program):
             PreconditionerType.CLUSTER_JACOBI,
             PreconditionerType.CLUSTER_TRIDIAGONAL,
         )
+        with_explicit = options.linear_solver_type in (
+            LinearSolverType.DENSE_SCHUR,
+            LinearSolverType.SPARSE_SCHUR,
+        ) or getattr(options, "use_explicit_schur_complement", False)
         schur_structure = getattr(program, "_schur_structure", None)
         if (
             schur_structure is None
@@ -204,9 +208,16 @@ def _build_solve_aux(options, program: Program):
             or (with_clusters and schur_structure.cluster_groups is None)
         ):
             schur_structure = build_schur_structure(
-                program, ordering=ordering, with_clusters=with_clusters
+                program,
+                ordering=ordering,
+                with_clusters=with_clusters,
+                with_explicit=with_explicit,
             )
             program._schur_structure = schur_structure
+        elif with_explicit and schur_structure.explicit is None:
+            from ceres_tpu.linear.schur import ensure_explicit_plan
+
+            ensure_explicit_plan(program, schur_structure)
     subset_masks = None
     if (
         options.preconditioner_type == PreconditionerType.SUBSET
