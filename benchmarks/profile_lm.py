@@ -64,6 +64,7 @@ def main():
 
     x0 = program.initial_ambient().astype(jnp.float32)
     fams = program.families
+    bd_groups = program.jnp_bd_groups()
     nt = program.num_tangent
     K = args.chain
     results = {}
@@ -85,7 +86,7 @@ def main():
         @jax.jit
         def run(x):
             def body(_, x):
-                cost, grad, _ = _full_impl(x, fams, True, nt)
+                cost, grad, _ = _full_impl(x, fams, True, nt, bd_groups)
                 return x + 0.0 * cost.astype(x.dtype)
 
             return jax.lax.fori_loop(0, k, body, x)
@@ -106,7 +107,7 @@ def main():
 
     report("cost_eval", diff_time(mk_cost, x0))
 
-    _, _, ctx = jax.jit(lambda x: _full_impl(x, fams, True, nt))(x0)
+    _, _, ctx = jax.jit(lambda x: _full_impl(x, fams, True, nt, bd_groups))(x0)
     jax.block_until_ready(ctx.residuals)
     D = jnp.sqrt(
         jnp.clip(ctx.squared_column_norms(), 1e-6, 1e32) / 1e4
@@ -323,6 +324,7 @@ def main():
             solve_aux,
             jnp.asarray(n, jnp.int32),
             config,
+            bd_groups,
         )
         return final.cost
 

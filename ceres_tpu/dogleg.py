@@ -59,9 +59,11 @@ class DoglegStrategy:
             alpha = jnp.sum(gradient * gradient) / jg_sq
             # Regularized GN solve with D = diagonal * sqrt(mu)
             # (dogleg_strategy.cc:560-568).
-            y, lin_iters = linear_solve(ctx, diagonal * jnp.sqrt(mu), solve_aux)
+            y, lin_iters, term = linear_solve(
+                ctx, diagonal * jnp.sqrt(mu), solve_aux
+            )
             gn_step = -diagonal * y  # scaled space
-            return diagonal, gradient, alpha, gn_step, lin_iters
+            return diagonal, gradient, alpha, gn_step, lin_iters, term
 
         @jax.jit
         def traditional(diagonal, gradient, alpha, gn_step, radius):
@@ -127,21 +129,33 @@ class DoglegStrategy:
     # -- step computation ----------------------------------------------------
 
     def compute_step(self, ctx: JacobianContext):
-        """Returns (step, model_cost_change, lin_iters)."""
+        """Returns (step, model_cost_change, lin_iters, lin_termination)."""
+        from ceres_tpu.linear.cg import CG_FAILURE, CG_SUCCESS
+
         lin_iters = 0
+        lin_term = CG_SUCCESS
         if not self.reuse or self._cache is None:
-            # Fresh Cauchy/GN computation, escalating mu on invalid solves
-            # (ComputeGaussNewtonStep, dogleg_strategy.cc:676-601).
+            # Fresh Cauchy/GN computation, escalating mu on invalid or
+            # FAILURE-terminated solves (ComputeGaussNewtonStep,
+            # dogleg_strategy.cc:676-601 — the reference's LM
+            # regularization retry).
             while True:
-                diagonal, gradient, alpha, gn_step, li = self._precompute(
-                    ctx, jnp.asarray(self.mu, jnp.float64), self._solve_aux
+                diagonal, gradient, alpha, gn_step, li, term = (
+                    self._precompute(
+                        ctx, jnp.asarray(self.mu, jnp.float64),
+                        self._solve_aux,
+                    )
                 )
                 lin_iters = int(li)
-                if bool(jnp.all(jnp.isfinite(gn_step))):
+                lin_term = int(term)
+                if (
+                    bool(jnp.all(jnp.isfinite(gn_step)))
+                    and lin_term < CG_FAILURE
+                ):
                     break
                 self.mu *= _MU_INCREASE
                 if self.mu >= _MAX_MU:
-                    return None, 0.0, lin_iters
+                    return None, 0.0, lin_iters, lin_term
             self._cache = (ctx, diagonal, gradient, alpha, gn_step)
         ctx, diagonal, gradient, alpha, gn_step = self._cache
 
@@ -156,7 +170,7 @@ class DoglegStrategy:
             )
         self.dogleg_step_norm = float(norm)
         mcc = self._model_cost_change(ctx, step)
-        return step, float(mcc), lin_iters
+        return step, float(mcc), lin_iters, lin_term
 
     def _subspace_step(self, ctx, diagonal, gradient, alpha, gn_step, radius):
         """ComputeSubspaceDoglegStep (dogleg_strategy.cc:265-343)."""

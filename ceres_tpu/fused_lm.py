@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ceres_tpu.evaluator import _full_impl
+from ceres_tpu.evaluator import _cost_impl, _full_impl
 from ceres_tpu.problem import Program, plus_apply
 from ceres_tpu.trust_region import (
     _SolveConfig,
@@ -104,7 +104,7 @@ def _fused_minimize(
             ctx.squared_column_norms(), sc.min_lm_diagonal, sc.max_lm_diagonal
         )
         D = jnp.sqrt(diag / s.radius.astype(diag.dtype))
-        y, _ = _linear_solve(ctx, D, solve_aux, sc)
+        y, _, lin_term = _linear_solve(ctx, D, solve_aux, sc)
         step_scaled = -y.astype(diag.dtype)
         Js = ctx.matvec(step_scaled)
         mcc = jnp.asarray(0.0, jnp.float64)
@@ -114,10 +114,18 @@ def _fused_minimize(
         step = (
             step_scaled * scaling if config.jacobi_scaling else step_scaled
         )
-        step_is_valid = jnp.isfinite(mcc) & (mcc > 0.0)
+        # Linear-solver FAILURE (breakdown/indefiniteness) invalidates the
+        # step like the host loop's HandleInvalidStep (linear_solver.h:57).
+        from ceres_tpu.linear.cg import CG_FAILURE
+
+        step_is_valid = (
+            jnp.isfinite(mcc) & (mcc > 0.0) & (lin_term < CG_FAILURE)
+        )
 
         candidate = plus_apply(plus_struct, s.x, step)
-        cand_cost, _, _ = eval_full(candidate)
+        # Cost-only candidate evaluation (the reference's cost-only
+        # Evaluate in ComputeCandidatePointAndEvaluateCost) — no Jacobian.
+        cand_cost = _cost_impl(candidate, families, config.apply_loss)
         cand_cost = jnp.where(
             jnp.isfinite(cand_cost), cand_cost, jnp.asarray(np.inf)
         )

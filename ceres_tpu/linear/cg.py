@@ -20,10 +20,21 @@ import jax
 import jax.numpy as jnp
 
 # Termination codes (match LinearSolverTerminationType semantics,
-# linear_solver.h:57-74).
+# linear_solver.h:57-74). Ordered so that jnp.maximum combines codes
+# with the worst outcome winning.
 CG_NO_CONVERGENCE = 0
 CG_SUCCESS = 1
 CG_FAILURE = 2
+CG_FATAL_ERROR = 3
+
+
+def direct_termination(y: jax.Array) -> jax.Array:
+    """Termination code for a direct (factorization) solve: FAILURE when
+    the solve produced non-finite values (indefinite or numerically
+    singular lhs — the reference's Eigen/LAPACK failure reporting,
+    dense_cholesky.cc / linear_solver.h:57-74)."""
+    ok = jnp.all(jnp.isfinite(y))
+    return jnp.where(ok, CG_SUCCESS, CG_FAILURE).astype(jnp.int32)
 
 
 class CGResult(NamedTuple):
@@ -122,8 +133,10 @@ def conjugate_gradients(
 
         failed = fail_rho | fail_beta | fail_alpha
         done = failed | indefinite | converged_q | converged_r
+        # Indefiniteness (pq <= 0) is FAILURE like the reference's
+        # "Matrix is indefinite" return (conjugate_gradients_solver.h).
         termination = jnp.where(
-            failed,
+            failed | indefinite,
             CG_FAILURE,
             jnp.where(
                 converged_q | converged_r, CG_SUCCESS, CG_NO_CONVERGENCE

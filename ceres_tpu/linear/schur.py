@@ -688,13 +688,15 @@ def solve_schur(
     options,
     ss: Optional[SchurStructure] = None,
     rhs: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Solve min ||J y - f||^2 + ||D y||^2 by eliminating the e-blocks.
 
-    Returns (y, linear_iterations). Dispatches on
-    options.linear_solver_type: DENSE_SCHUR/SPARSE_SCHUR build the dense
-    reduced system (schur_complement_solver.cc); ITERATIVE_SCHUR runs PCG
-    on the implicit S (iterative_schur_complement_solver.cc:64-155).
+    Returns (y, linear_iterations, termination) with termination codes
+    from linear/cg.py (LinearSolverTerminationType semantics,
+    linear_solver.h:57-74). Dispatches on options.linear_solver_type:
+    DENSE_SCHUR/SPARSE_SCHUR build the dense reduced system
+    (schur_complement_solver.cc); ITERATIVE_SCHUR runs PCG on the
+    implicit S (iterative_schur_complement_solver.cc:64-155).
     """
     if ss is None:
         ss = getattr(program, "_schur_structure", None)
@@ -726,7 +728,9 @@ def solve_schur(
             y = op.back_substitute_tangent(x_f, tangent_rhs)
         else:
             y = op.back_substitute(x_f)
-        return y, jnp.asarray(1, jnp.int32)
+        from ceres_tpu.linear.cg import direct_termination
+
+        return y, jnp.asarray(1, jnp.int32), direct_termination(y)
 
     # ITERATIVE_SCHUR
     if options.preconditioner_type == PreconditionerType.SCHUR_JACOBI:
@@ -789,4 +793,4 @@ def solve_schur(
         y = op.back_substitute_tangent(res.x, tangent_rhs)
     else:
         y = op.back_substitute(res.x)
-    return y, res.num_iterations
+    return y, res.num_iterations, res.termination

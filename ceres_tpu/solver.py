@@ -202,6 +202,9 @@ class SolverSummary:
     num_successful_steps: int = 0
     num_unsuccessful_steps: int = 0
     num_inner_iteration_steps: int = 0
+    # Linear solves that terminated with FAILURE (breakdown /
+    # indefiniteness; each becomes an invalid step) — linear_solver.h:57-74.
+    num_linear_solver_failures: int = 0
     preprocessor_time_in_seconds: float = 0.0
     minimizer_time_in_seconds: float = 0.0
     postprocessor_time_in_seconds: float = 0.0
@@ -262,6 +265,7 @@ class SolverSummary:
             "",
             f"{'Successful steps':<30}{self.num_successful_steps:>12}",
             f"{'Unsuccessful steps':<30}{self.num_unsuccessful_steps:>12}",
+            f"{'Linear solver failures':<30}{self.num_linear_solver_failures:>12}",
             "",
             f"{'Preprocessor time (s)':<30}{self.preprocessor_time_in_seconds:>12.4f}",
             f"{'Minimizer time (s)':<30}{self.minimizer_time_in_seconds:>12.4f}",

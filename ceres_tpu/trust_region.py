@@ -245,17 +245,26 @@ def _build_solve_aux(options, program: Program):
     }
 
 
+from ceres_tpu.linear.cg import direct_termination as _direct_termination
+
+
 def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
-    """LinearSolver::Solve dispatch (linear_solver.cc:75), pure."""
+    """LinearSolver::Solve dispatch (linear_solver.cc:75), pure.
+
+    Returns (y, num_iterations, termination) with termination following
+    LinearSolverTerminationType (linear_solver.h:57-74): iterative solvers
+    report their CG termination (FAILURE on breakdown), direct solvers
+    report FAILURE on a non-finite factorization result.
+    """
     lst = config.linear_solver_type
     bd = solve_aux["bd_groups"]
+    one = jnp.asarray(1, jnp.int32)
     if lst == LinearSolverType.DENSE_QR:
-        return solve_dense_qr(ctx, D, rhs=rhs), jnp.asarray(1, jnp.int32)
+        y = solve_dense_qr(ctx, D, rhs=rhs)
+        return y, one, _direct_termination(y)
     if lst == LinearSolverType.DENSE_NORMAL_CHOLESKY:
-        return (
-            solve_dense_normal_cholesky(ctx, D, rhs=rhs),
-            jnp.asarray(1, jnp.int32),
-        )
+        y = solve_dense_normal_cholesky(ctx, D, rhs=rhs)
+        return y, one, _direct_termination(y)
     if lst == LinearSolverType.CGNR:
         res = solve_cgnr(
             ctx,
@@ -271,7 +280,7 @@ def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
             rhs=rhs,
             subset_masks=solve_aux.get("subset_masks"),
         )
-        return res.x, res.num_iterations
+        return res.x, res.num_iterations, res.termination
     if lst in (
         LinearSolverType.DENSE_SCHUR,
         LinearSolverType.ITERATIVE_SCHUR,
@@ -298,7 +307,7 @@ def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
             r_tolerance=1e-14,
             rhs=rhs,
         )
-        return res.x, res.num_iterations
+        return res.x, res.num_iterations, res.termination
     raise ValueError(f"unsupported linear solver {lst}")
 
 
@@ -330,19 +339,20 @@ def _linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
     ctx64 = _cast_tree(ctx, jnp.float64)
     D64 = D.astype(jnp.float64)
     rhs64 = ctx64.gradient() if rhs is None else rhs.astype(jnp.float64)
-    y32, lin_iters = _base_linear_solve(
+    y32, lin_iters, term = _base_linear_solve(
         ctx32, D32, aux32, config, rhs=rhs64.astype(jnp.float32)
     )
     y = y32.astype(jnp.float64)
     total_iters = lin_iters
     for _ in range(config.num_refinement_iterations):
         r = rhs64 - (ctx64.normal_matvec(y) + (D64 * D64) * y)
-        dy32, li = _base_linear_solve(
+        dy32, li, t2 = _base_linear_solve(
             ctx32, D32, aux32, config, rhs=r.astype(jnp.float32)
         )
         y = y + dy32.astype(jnp.float64)
         total_iters = total_iters + li
-    return y, total_iters
+        term = jnp.maximum(term, t2)
+    return y, total_iters, term
 
 
 from ceres_tpu.problem import plus_apply
@@ -402,7 +412,7 @@ def _lm_step_impl(ctx, radius, solve_aux, config: _SolveConfig):
         config.max_lm_diagonal,
     )
     D = jnp.sqrt(diag / radius.astype(diag.dtype))
-    y, lin_iters = _linear_solve(ctx, D, solve_aux, config)
+    y, lin_iters, term = _linear_solve(ctx, D, solve_aux, config)
     # mixed-precision solves return an f64-refined y; the step is
     # applied to the evaluation-dtype state, so cast back.
     step = -y.astype(diag.dtype)
@@ -410,7 +420,7 @@ def _lm_step_impl(ctx, radius, solve_aux, config: _SolveConfig):
     mcc = jnp.asarray(0.0, jnp.float64)
     for fi in range(len(ctx.families)):
         mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
-    return step, mcc, lin_iters
+    return step, mcc, lin_iters, term
 
 
 def _make_linear_solve(options, program: Program):
@@ -549,17 +559,20 @@ class TrustRegionMinimizer:
                 else ctx
             )
             if self.use_dogleg:
-                step_scaled, model_cost_change, lin_iters = (
+                step_scaled, model_cost_change, lin_iters, lin_term = (
                     strategy.compute_step(ctx_used)
                 )
             else:
-                step_scaled, model_cost_change, lin_iters = self.step_fn(
-                    ctx_used, jnp.asarray(strategy.radius, jnp.float64)
+                step_scaled, model_cost_change, lin_iters, lin_term = (
+                    self.step_fn(
+                        ctx_used, jnp.asarray(strategy.radius, jnp.float64)
+                    )
                 )
-            model_cost_change, lin_iters = jax.device_get(
-                (model_cost_change, lin_iters)
+            model_cost_change, lin_iters, lin_term = jax.device_get(
+                (model_cost_change, lin_iters, lin_term)
             )
             model_cost_change = float(model_cost_change)
+            lin_term = int(lin_term)
             it.linear_solver_iterations = int(lin_iters)
             it.step_solver_time_in_seconds = time.time() - solver_t0
 
@@ -586,11 +599,25 @@ class TrustRegionMinimizer:
                     jnp.sqrt(diag / strategy.radius),
                     step_scaled,
                 )
+            from ceres_tpu.linear.cg import CG_FAILURE, CG_FATAL_ERROR
+
+            if lin_term >= CG_FATAL_ERROR:
+                # linear_solver.h:69-74: unrecoverable — abort the solve.
+                summary.termination_type = TerminationType.FAILURE
+                summary.message = (
+                    "Terminating: linear solver reported FATAL_ERROR."
+                )
+                return self._finish(x)
+            # FAILURE -> invalid step (retry with a smaller trust region),
+            # the reference's HandleInvalidStep path.
             it.step_is_valid = (
                 step_scaled is not None
+                and lin_term < CG_FAILURE
                 and np.isfinite(model_cost_change)
                 and model_cost_change > 0.0
             )
+            if lin_term >= CG_FAILURE:
+                summary.num_linear_solver_failures += 1
 
             if not it.step_is_valid:
                 # HandleInvalidStep (trust_region_minimizer.cc:466-500)

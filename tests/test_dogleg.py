@@ -112,7 +112,7 @@ def test_traditional_step_cases():
 
     # Huge radius -> pure (regularized) Gauss-Newton step.
     strat.radius = 1e12
-    step_gn, mcc, _ = strat.compute_step(ctx)
+    step_gn, mcc, _, _ = strat.compute_step(ctx)
     J = np.asarray(ctx.to_dense())
     f = np.asarray(ctx.residual_vector())
     gn_expected = -np.linalg.solve(
@@ -128,7 +128,7 @@ def test_traditional_step_cases():
     strat.reuse = False
     strat._cache = None
     strat.radius = 1e-6
-    step_c, _, _ = strat.compute_step(ctx)
+    step_c, _, _, _ = strat.compute_step(ctx)
     D = np.sqrt(np.clip((J * J).sum(0), 1e-6, None))
     np.testing.assert_allclose(
         np.linalg.norm(D * np.asarray(step_c)), 1e-6, rtol=1e-8

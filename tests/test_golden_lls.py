@@ -172,7 +172,7 @@ class TestProblem1:
             linear_solver_type=ct.LinearSolverType.DENSE_SCHUR
         )
         ss = build_schur_structure(program, ordering=[e[0], e[1]])
-        y, _ = solve_schur(ctx, D, program, opts, ss=ss)
+        y, _, _ = solve_schur(ctx, D, program, opts, ss=ss)
         expected = np.linalg.solve(
             A.T @ A + np.diag(np.full(5, 0.25)), A.T @ (-b)
         )

@@ -138,7 +138,7 @@ class TestSolveParity:
             eta=1e-12,
             max_linear_solver_iterations=500,
         )
-        y, _ = solve_schur(ctx, D, program, opts)
+        y, _, _ = solve_schur(ctx, D, program, opts)
         y_ref = solve_dense_qr(ctx, D)
         # dense paths are exact; the iterative path converges to CG's
         # floor (~1e-7 relative residual), same as the reference's
@@ -163,7 +163,7 @@ class TestSolveParity:
             eta=1e-12,
             max_linear_solver_iterations=1000,
         )
-        y, _ = solve_schur(ctx, D, program, opts)
+        y, _, _ = solve_schur(ctx, D, program, opts)
         y_ref = solve_dense_qr(ctx, D)
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), rtol=2e-3, atol=1e-6
