@@ -90,6 +90,7 @@ from ceres_tpu.interpolation import (  # noqa: E402
 from ceres_tpu import cost_functions  # noqa: E402
 from ceres_tpu.cost_functions import EvaluationCallback  # noqa: E402
 from ceres_tpu.fused_lm import fused_solve  # noqa: E402
+from ceres_tpu.ordered_groups import OrderedGroups  # noqa: E402
 
 __version__ = "0.1.0"
 

@@ -88,7 +88,26 @@ def check_problem_gradients(
     sampling a few instances per family keeps it cheap on batched problems.
     """
     program = problem.program()
-    x = program.initial_ambient()
+    return check_program_gradients_at(
+        program,
+        program.initial_ambient(),
+        relative_precision,
+        max_blocks_per_family,
+    )
+
+
+def check_program_gradients_at(
+    program,
+    x,
+    relative_precision: float = 1e-8,
+    max_blocks_per_family: int = 4,
+) -> Tuple[bool, str]:
+    """Gradient check at an arbitrary iterate ``x`` — the during-solve
+    form: the reference wraps every evaluation in a
+    GradientCheckingCostFunction and aborts the solve on the first
+    mismatch at ANY iterate (gradient_checking_cost_function.h:105,
+    solver.cc:765-780)."""
+    x = jnp.asarray(x, dtype=jnp.float64)
     for fam in program.families:
         r, jacs = family_residuals_and_jacobians(fam, x)
         st = fam.structure

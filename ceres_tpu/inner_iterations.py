@@ -74,7 +74,27 @@ class CoordinateDescentMinimizer:
         self.program = program
         self.options = options
         self.evaluator = evaluator
-        self.sets = compute_independent_sets(program)
+        user = getattr(options, "inner_iteration_ordering", None)
+        if user is not None:
+            # User groups (Solver::Options::inner_iteration_ordering):
+            # validated as independent sets, visited in group order
+            # (coordinate_descent_minimizer.cc IsOrderingValid).
+            from ceres_tpu.ordered_groups import (
+                normalize_ordering,
+                validate_independent_set,
+            )
+
+            groups = normalize_ordering(user)
+            active = {rec.pid for rec in program.blocks if not rec.constant}
+            self.sets = []
+            for g in groups:
+                g = [int(p) for p in g if int(p) in active]
+                if not g:
+                    continue
+                validate_independent_set(program, g)
+                self.sets.append(g)
+        else:
+            self.sets = compute_independent_sets(program)
         self.num_steps = 3  # batched LM steps per set per pass
 
         pblocks = {rec.pid: rec for rec in program.blocks}

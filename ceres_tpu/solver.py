@@ -112,6 +112,11 @@ class SolverOptions:
     # Inner iterations (solver.h:560-600).
     use_inner_iterations: bool = False
     inner_iteration_tolerance: float = 1e-3
+    # User-specified coordinate-descent groups (Solver::Options::
+    # inner_iteration_ordering): each group must be an independent set;
+    # groups are optimized in increasing order. OrderedGroups or list of
+    # lists of parameter-block ids. None = automatic greedy coloring.
+    inner_iteration_ordering: Optional[object] = None
 
     # Trust region problem dumps (solver.h:725-735).
     trust_region_problem_dump_directory: str = ""

@@ -189,10 +189,22 @@ def _build_solve_aux(options, program: Program):
         LinearSolverType.SPARSE_SCHUR,
     ):
         from ceres_tpu.linear.schur import build_schur_structure
+        from ceres_tpu.ordered_groups import (
+            normalize_ordering,
+            validate_ordering_partition,
+        )
 
         ordering = None
-        if options.linear_solver_ordering:
-            ordering = list(options.linear_solver_ordering[0])
+        user_groups = normalize_ordering(options.linear_solver_ordering)
+        if user_groups:
+            if len(user_groups) > 1:
+                # Multi-group semantics (ordered_groups.h): the ordering
+                # must partition the active blocks; group 0 is eliminated
+                # first. Remaining groups order the reduced system — a
+                # fill-in concern for the reference's sparse
+                # factorizations, numerically inert here.
+                validate_ordering_partition(program, user_groups)
+            ordering = list(user_groups[0])
         with_clusters = options.preconditioner_type in (
             PreconditionerType.CLUSTER_JACOBI,
             PreconditionerType.CLUSTER_TRIDIAGONAL,
@@ -751,6 +763,26 @@ class TrustRegionMinimizer:
                 atleast_one_successful_step = True
                 x = candidate_x
                 x_cost = candidate_cost
+                if opts.check_gradients:
+                    # During-solve gradient checking: the reference wraps
+                    # every evaluation in a GradientCheckingCostFunction
+                    # and aborts the solve on the first mismatch at any
+                    # iterate (gradient_checking_cost_function.h:105).
+                    from ceres_tpu.gradient_checker import (
+                        check_program_gradients_at,
+                    )
+
+                    ok, msg = check_program_gradients_at(
+                        program, x,
+                        opts.gradient_check_relative_precision,
+                    )
+                    if not ok:
+                        summary.termination_type = TerminationType.FAILURE
+                        summary.message = (
+                            f"Gradient check failed at iteration "
+                            f"{it.iteration}: {msg}"
+                        )
+                        return self._finish(x)
                 full = self.evaluator.cost_gradient_jacobian(x)
                 grad = full.gradient
                 ctx = full.jacobian_context
