@@ -362,6 +362,20 @@ class LineManifold(Manifold):
         jac = jac.at[n:, n - 1 :].set(jac_d)
         return jac
 
+    def minus_jacobian(self, x):
+        """Analytic d minus(y, x)/dy at y = x (line_manifold.h:240-263):
+        block-diagonal of the Householder head rows (origin) and the
+        sphere minus-jacobian (direction). The default autodiff path is
+        numerically undefined exactly at y = x (chart branch point)."""
+        n = self._n
+        d = x[n:]
+        v, beta = householder_vector(d)
+        H = jnp.eye(n, dtype=x.dtype) - beta * jnp.outer(v, v)
+        jac = jnp.zeros((2 * (n - 1), 2 * n), dtype=x.dtype)
+        jac = jac.at[: n - 1, :n].set(H[:-1, :])
+        jac = jac.at[n - 1 :, n:].set(self._sphere.minus_jacobian(d))
+        return jac
+
 
 class ProductManifold(Manifold):
     """Cartesian product of manifolds (product_manifold.h)."""
@@ -375,6 +389,7 @@ class ProductManifold(Manifold):
 
     ambient_size = property(lambda self: self._ambient)
     tangent_size = property(lambda self: self._tangent)
+    manifolds = property(lambda self: self._manifolds)
 
     def _splits(self):
         a = t = 0

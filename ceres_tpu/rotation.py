@@ -278,15 +278,45 @@ def rotation_to_euler(R, seq: str = "ZYX", intrinsic: bool = True):
         a3, a2, a1 = rotation_to_euler(R, seq[::-1], intrinsic=True)
         return jnp.stack([a1, a2, a3])
     i, j, k = (_AXIS[c] for c in seq)
-    if i == k:  # proper Euler (i, j, i)
+    # Gimbal-lock handling (both branches): at the singular middle angle
+    # only a +/- c is observable; the convention (matching Eigen's
+    # eulerAngles and rotation.h:199's principal ranges) is c = 0 with
+    # the whole residual rotation folded into a. Implemented branch-free
+    # with jnp.where so the function stays jit/vmap-compatible.
+    i1, i2 = (i + 1) % 3, (i + 2) % 3
+    if i == k:  # proper Euler (i, j, i); singular at b = 0, pi
         l = 3 - i - j
         e = 1.0 if (j - i) % 3 == 1 else -1.0
-        b = jnp.arccos(jnp.clip(R[i, i], -1.0, 1.0))
+        cb = jnp.clip(R[i, i], -1.0, 1.0)
+        b = jnp.arccos(cb)
         a = jnp.arctan2(R[j, i], -e * R[l, i])
         c = jnp.arctan2(R[i, j], e * R[i, l])
-    else:  # Tait-Bryan (i, j, k) all distinct
+        degenerate = jnp.abs(cb) > 1.0 - 1e-10
+        # b ~ 0: R = R_i(a + c);  b ~ pi: R_i(a) = R @ R_j(pi).
+        M_pi = R @ _axis_rotation(j, jnp.asarray(jnp.pi, R.dtype))
+        a_deg = jnp.where(
+            cb > 0.0,
+            jnp.arctan2(R[i2, i1], R[i1, i1]),
+            jnp.arctan2(M_pi[i2, i1], M_pi[i1, i1]),
+        )
+        a = jnp.where(degenerate, a_deg, a)
+        c = jnp.where(degenerate, 0.0, c)
+    else:  # Tait-Bryan (i, j, k) all distinct; singular at b = +/- pi/2
         e = 1.0 if (j - i) % 3 == 1 else -1.0
-        b = jnp.arcsin(jnp.clip(e * R[i, k], -1.0, 1.0))
+        sb = jnp.clip(e * R[i, k], -1.0, 1.0)
+        b = jnp.arcsin(sb)
         a = jnp.arctan2(-e * R[j, k], R[k, k])
         c = jnp.arctan2(-e * R[i, j], R[i, i])
+        degenerate = jnp.abs(sb) > 1.0 - 1e-10
+        # c = 0: R_i(a) = R @ R_j(-b) with b = +/- pi/2.
+        half_pi = jnp.asarray(jnp.pi / 2, R.dtype)
+        M_p = R @ _axis_rotation(j, -half_pi)
+        M_m = R @ _axis_rotation(j, half_pi)
+        a_deg = jnp.where(
+            sb > 0.0,
+            jnp.arctan2(M_p[i2, i1], M_p[i1, i1]),
+            jnp.arctan2(M_m[i2, i1], M_m[i1, i1]),
+        )
+        a = jnp.where(degenerate, a_deg, a)
+        c = jnp.where(degenerate, 0.0, c)
     return jnp.stack([a, b, c])

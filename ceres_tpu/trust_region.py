@@ -448,8 +448,8 @@ def _make_linear_solve(options, program: Program):
 
 
 def _make_lm_step_fn(options, program: Program):
-    """Returns f(ctx, radius) -> (step, model_cost_change, lin_iters)
-    bound to the shared module-level jitted implementation."""
+    """Returns f(ctx, radius) -> (step, model_cost_change, lin_iters,
+    lin_termination) bound to the shared module-level jitted impl."""
     config = _config_from_options(options, program)
     solve_aux = _build_solve_aux(options, program)
     return lambda ctx, radius: _lm_step_impl(ctx, radius, solve_aux, config)
