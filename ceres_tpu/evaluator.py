@@ -300,13 +300,19 @@ class JacobianContext:
             )
         return g
 
-    def matvec(self, v: jax.Array) -> Tuple[jax.Array, ...]:
+    def matvec(self, v: jax.Array, skip=None) -> Tuple[jax.Array, ...]:
         """J v -> per-family residual-space blocks (B, r).
 
         Analog of BlockSparseMatrix::RightMultiplyAndAccumulate
         (block_sparse_matrix.cc:239). Grouped path: one row-gather per
         size group + per-instance row gathers (slice gathers beat
         elementwise gathers on TPU).
+
+        ``skip``: optional per-family arg index to exclude (static tuple,
+        -1 = none). With the Schur e-arg skipped this is the partitioned
+        F-product (partitioned_matrix_view.h RightMultiplyAndAccumulateF)
+        — the implicit Schur loop never pays for the E columns it would
+        immediately mask away.
         """
         if self._grouped():
             vg = self._group_pad(v)
@@ -316,6 +322,8 @@ class JacobianContext:
                     (fam.batch, fam.residual_size), dtype=v.dtype
                 )
                 for j in range(fam.num_args):
+                    if skip is not None and j == skip[fi]:
+                        continue
                     T = fam.structure.tangent_sizes[j]
                     if T in vg:
                         vj = vg[T][fam.bd_pos[j]]  # (B, T_j) row gather
@@ -331,6 +339,8 @@ class JacobianContext:
         for fi, fam in enumerate(self.families):
             acc = jnp.zeros((fam.batch, fam.residual_size), dtype=v.dtype)
             for j in range(fam.num_args):
+                if skip is not None and j == skip[fi]:
+                    continue
                 vj = v_pad[fam.tangent_idx[j]]  # (B, T_j)
                 acc = acc + jnp.einsum(
                     "brt,bt->br", self.jacs[fi][j], vj
@@ -338,12 +348,17 @@ class JacobianContext:
             out.append(acc)
         return tuple(out)
 
-    def rmatvec(self, w: Sequence[jax.Array]) -> jax.Array:
+    def rmatvec(self, w: Sequence[jax.Array], skip=None) -> jax.Array:
         """J^T w for per-family residual-space blocks -> tangent vector.
 
         Analog of LeftMultiplyAndAccumulate; the per-thread accumulation +
         locks of the reference become plan-based segment reductions
         (ceres_tpu.ops.reduce) + one unique-index scatter per size group.
+
+        ``skip``: optional per-family arg index to exclude (static tuple,
+        -1 = none) — the partitioned F'-product
+        (partitioned_matrix_view.h LeftMultiplyAndAccumulateF). Skipping
+        the e-arg avoids the point-side segment reduction entirely.
         """
         if self._grouped():
             from ceres_tpu.ops.reduce import apply_reduce
@@ -351,6 +366,8 @@ class JacobianContext:
             acc: dict = {}
             for fi, fam in enumerate(self.families):
                 for j in range(fam.num_args):
+                    if skip is not None and j == skip[fi]:
+                        continue
                     T = fam.structure.tangent_sizes[j]
                     if T not in self.groups:
                         continue  # all blocks of this size are constant
@@ -363,6 +380,8 @@ class JacobianContext:
         g = jnp.zeros((self.num_tangent,), dtype=w[0].dtype)
         for fi, fam in enumerate(self.families):
             for j in range(fam.num_args):
+                if skip is not None and j == skip[fi]:
+                    continue
                 contrib = jnp.einsum("brt,br->bt", self.jacs[fi][j], w[fi])
                 g = g.at[fam.tangent_idx[j]].add(contrib, mode="drop")
         return g

@@ -47,6 +47,7 @@ class _FusedState(NamedTuple):
     unsuccessful_steps: jax.Array
     invalid_in_a_row: jax.Array
     termination: jax.Array  # 0 = running, else TerminationType-ish code
+    linear_iterations: jax.Array  # cumulative CG/linear iterations
 
 
 _RUNNING = 0
@@ -104,7 +105,7 @@ def _fused_minimize(
             ctx.squared_column_norms(), sc.min_lm_diagonal, sc.max_lm_diagonal
         )
         D = jnp.sqrt(diag / s.radius.astype(diag.dtype))
-        y, _, lin_term = _linear_solve(ctx, D, solve_aux, sc)
+        y, lin_iters, lin_term = _linear_solve(ctx, D, solve_aux, sc)
         step_scaled = -y.astype(diag.dtype)
         Js = ctx.matvec(step_scaled)
         mcc = jnp.asarray(0.0, jnp.float64)
@@ -189,6 +190,8 @@ def _fused_minimize(
             + (1 - accept.astype(jnp.int32)),
             invalid_in_a_row=invalid_in_a_row,
             termination=termination,
+            linear_iterations=s.linear_iterations
+            + lin_iters.astype(jnp.int32),
         )
 
     def cond(s: _FusedState):
@@ -212,6 +215,7 @@ def _fused_minimize(
             _CONVERGENCE,
             _RUNNING,
         ).astype(jnp.int32),
+        linear_iterations=jnp.asarray(0, jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
     return final, cost0
@@ -271,7 +275,7 @@ def fused_solve(options, problem):
         config,
         program.jnp_bd_groups(),
     )
-    (x, cost, term, iters, succ, unsucc, c0) = jax.device_get(
+    (x, cost, term, iters, succ, unsucc, lin_iters, c0) = jax.device_get(
         (
             final.x,
             final.cost,
@@ -279,6 +283,7 @@ def fused_solve(options, problem):
             final.iteration,
             final.successful_steps,
             final.unsuccessful_steps,
+            final.linear_iterations,
             cost0,
         )
     )
@@ -300,6 +305,7 @@ def fused_solve(options, problem):
     else:
         summary.termination_type = TerminationType.NO_CONVERGENCE
         summary.message = f"Maximum iterations reached ({int(iters)})."
+    summary.num_linear_solver_iterations = int(lin_iters)
     summary.num_parameter_blocks = program.num_parameter_blocks()
     summary.num_parameters = program.num_ambient
     summary.num_effective_parameters = program.num_tangent

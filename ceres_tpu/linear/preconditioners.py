@@ -43,26 +43,28 @@ def block_jacobi_preconditioner(
     ``bd_groups`` maps tangent size T -> (G_T, T) int32 tangent-index
     matrix (Program.bd_groups). Factorizations are batched per size group.
     """
+    from ceres_tpu.ops.small_linalg import spd_inverse
+
     group_sizes = {T: idx.shape[0] for T, idx in bd_groups.items()}
     blocks = ctx.block_jtj(group_sizes)
-    factors = {}
+    inverses = {}
     for T, idx in bd_groups.items():
         mat = blocks[T]
         if D is not None:
             Db = D[jnp.asarray(idx)]  # (G, T)
             mat = mat + jax.vmap(jnp.diag)(Db * Db)
-        factors[T] = jax.vmap(lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0])(
-            mat
-        )
+        # Closed-form/unrolled SPD inverses (invert_psd_matrix.h analog):
+        # the apply becomes one einsum instead of a batched
+        # TriangularSolve, which is pathologically slow on TPU for tiny
+        # blocks inside the CG loop.
+        inverses[T] = spd_inverse(mat)
 
     def apply(v: jax.Array) -> jax.Array:
         out = jnp.zeros_like(v)
         for T, idx in bd_groups.items():
             idx_j = jnp.asarray(idx)
             vb = v[idx_j]  # (G, T)
-            sol = jax.vmap(
-                lambda c, b: jax.scipy.linalg.cho_solve((c, True), b)
-            )(factors[T], vb)
+            sol = jnp.einsum("gij,gj->gi", inverses[T], vb)
             out = out.at[idx_j].set(sol)
         return out
 

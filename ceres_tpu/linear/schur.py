@@ -104,9 +104,17 @@ class SchurStructure:
     f_groups: Dict[int, jax.Array]
     f_pos: Tuple[Tuple[Optional[jax.Array], ...], ...]  # [fam][arg] -> (B,)
     # Visibility clusters of f-blocks for CLUSTER_JACOBI/_TRIDIAGONAL
-    # (single-linkage over shared e-blocks): (C, m) tangent coordinate
-    # index matrix padded with num_tangent, or None.
+    # (canonical-views over shared e-blocks, single-linkage fallback):
+    # (C, m) tangent coordinate index matrix padded with num_tangent, or
+    # None.
     cluster_groups: Optional[jax.Array] = None
+    # CLUSTER_TRIDIAGONAL chain structure: (num_chains, L) cluster ids
+    # padded with C (dummy). Chains are the paths of the maximum-weight
+    # linear forest over the cluster visibility graph
+    # (visibility_based_preconditioner.h:127's forest, degree-limited to
+    # 2 so the preconditioner is literally block tridiagonal and solves
+    # with a batched block-Thomas scan).
+    chain_clusters: Optional[jax.Array] = None
     # Segment-reduction plans (ceres_tpu.ops.reduce): per family for the
     # point (e) reductions, per family/arg for the camera (f) block
     # reductions — the scatter-free analog of the eliminator's per-chunk
@@ -123,7 +131,7 @@ jax.tree_util.register_dataclass(
     SchurStructure,
     data_fields=[
         "e_group", "f_mask", "f_idx", "e_pos", "f_groups", "f_pos",
-        "cluster_groups", "e_plan", "f_plan", "explicit",
+        "cluster_groups", "chain_clusters", "e_plan", "f_plan", "explicit",
     ],
     meta_fields=["num_points", "e_tangent_size", "e_arg"],
 )
@@ -135,6 +143,7 @@ def build_schur_structure(
     with_clusters: bool = False,
     cluster_threshold: float = 0.1,
     with_explicit: bool = False,
+    with_forest: bool = False,
 ) -> SchurStructure:
     """Build the index structure; ordering overrides the automatic one
     (the user elimination-group hint, include/ceres/ordered_groups.h).
@@ -237,10 +246,18 @@ def build_schur_structure(
         f_pos.append(tuple(fp))
 
     cluster_groups = None
+    chain_clusters = None
     if with_clusters:
-        cluster_groups = _build_cluster_groups(
-            program, e_set, point_index, f_pos_of_pid, cluster_threshold
+        built = _build_cluster_groups(
+            program,
+            e_set,
+            point_index,
+            f_pos_of_pid,
+            cluster_threshold,
+            with_forest=with_forest,
         )
+        if built is not None:
+            cluster_groups, chain_clusters = built
 
     # Scatter-free reduction plans (one-hot matmul / ELL gather+sum).
     from ceres_tpu.ops.reduce import build_reduce_plan
@@ -276,6 +293,7 @@ def build_schur_structure(
         f_groups=f_groups,
         f_pos=tuple(f_pos),
         cluster_groups=cluster_groups,
+        chain_clusters=chain_clusters,
         e_plan=e_plan,
         f_plan=tuple(f_plan),
     )
@@ -296,11 +314,21 @@ def ensure_explicit_plan(program, ss: SchurStructure) -> SchurStructure:
 
 
 def _build_cluster_groups(
-    program, e_set, point_index, f_pos_of_pid, threshold
+    program, e_set, point_index, f_pos_of_pid, threshold, with_forest=False
 ):
-    """Single-linkage visibility clusters of f-blocks -> padded (C, m)
-    tangent coordinate matrix (canonical_views/single_linkage analog of
-    visibility_based_preconditioner.cc, via the native core)."""
+    """Visibility clusters of f-blocks -> padded (C, m) tangent
+    coordinate matrix, plus (optionally) the CLUSTER_TRIDIAGONAL chain
+    structure.
+
+    Clustering is canonical views (canonical_views_clustering.h:98, the
+    algorithm visibility_based_preconditioner.cc actually uses) with
+    single-linkage (single_linkage_clustering.h:58) as fallback, both in
+    the native core. With ``with_forest`` the maximum-weight linear
+    forest over the cluster graph is decomposed into paths -> a padded
+    (num_chains, L) cluster-id matrix (singleton clusters are length-1
+    chains, so every cluster appears in exactly one chain).
+    Returns (cluster_mat, chains_mat_or_None) or None.
+    """
     from ceres_tpu.utils import native
 
     f_pids = sorted(f_pos_of_pid.keys())
@@ -326,13 +354,16 @@ def _build_cluster_groups(
                     pt_idx.append(point_index.get(int(ids[b, ej]), 0))
     if not cam_idx:
         return None
-    out = native.camera_clusters(
-        len(f_pids),
-        max(pt_idx) + 1,
-        np.asarray(cam_idx, dtype=np.int64),
-        np.asarray(pt_idx, dtype=np.int64),
-        threshold=threshold,
+    cam_arr = np.asarray(cam_idx, dtype=np.int64)
+    pt_arr = np.asarray(pt_idx, dtype=np.int64)
+    n_pt = int(pt_arr.max()) + 1
+    out = native.canonical_views_clusters(
+        len(f_pids), n_pt, cam_arr, pt_arr
     )
+    if out is None:
+        out = native.camera_clusters(
+            len(f_pids), n_pt, cam_arr, pt_arr, threshold=threshold
+        )
     if out is None:
         # native core unavailable: every f-block is its own cluster
         # (degenerates to SCHUR_JACOBI semantics)
@@ -355,7 +386,51 @@ def _build_cluster_groups(
     mat = np.full((nclusters, m), program.num_tangent, dtype=np.int32)
     for i, r in enumerate(rows):
         mat[i, : len(r)] = r
-    return jnp.asarray(mat)
+
+    chains_mat = None
+    if with_forest and nclusters > 1:
+        forest = native.cluster_linear_forest(
+            nclusters,
+            n_pt,
+            np.asarray(cluster, dtype=np.int64)[cam_arr],
+            pt_arr,
+        )
+        ea, eb = forest if forest is not None else (
+            np.zeros(0, np.int32), np.zeros(0, np.int32)
+        )
+        # Decompose the linear forest into paths: degree <= 2 and
+        # acyclic, so following edges from degree-<=1 endpoints walks
+        # every chain; untouched clusters are singletons.
+        adj = [[] for _ in range(nclusters)]
+        for a, b in zip(ea, eb):
+            adj[int(a)].append(int(b))
+            adj[int(b)].append(int(a))
+        visited = [False] * nclusters
+        chains = []
+        for c in range(nclusters):
+            if visited[c] or len(adj[c]) > 1:
+                continue
+            path = [c]
+            visited[c] = True
+            cur = c
+            while True:
+                nxt = [n for n in adj[cur] if not visited[n]]
+                if not nxt:
+                    break
+                cur = nxt[0]
+                visited[cur] = True
+                path.append(cur)
+            chains.append(path)
+        for c in range(nclusters):  # leftover (shouldn't happen: acyclic)
+            if not visited[c]:
+                visited[c] = True
+                chains.append([c])
+        L = max(len(ch) for ch in chains)
+        chains_mat = np.full((len(chains), L), nclusters, dtype=np.int32)
+        for i, ch in enumerate(chains):
+            chains_mat[i, : len(ch)] = ch
+        chains_mat = jnp.asarray(chains_mat)
+    return jnp.asarray(mat), chains_mat
 
 
 # ---------------------------------------------------------------------------
@@ -390,9 +465,14 @@ class SchurOperator:
             ete = ete + self._reduce_e(fi, contrib)
         De = D[ss.e_group]  # (P, Te)
         ete = ete + jax.vmap(jnp.diag)(De * De)
-        self._ete_chol = jax.vmap(
-            lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0]
-        )(ete)
+        # Explicit SPD inverse of the point blocks (invert_psd_matrix.h:44,
+        # schur_eliminator_impl.h e-block inversion): closed-form for the
+        # tiny sizes, so every downstream solve is one einsum that XLA
+        # fuses into the CG loop. Batched XLA Cholesky/TriangularSolve on
+        # (P, 3, 3) operands is orders of magnitude slower on TPU.
+        from ceres_tpu.ops.small_linalg import spd_inverse
+
+        self._ete_inv = spd_inverse(ete)
 
     def _reduce_e(self, fi: int, contrib: jax.Array) -> jax.Array:
         """Sum per-instance contributions into per-point slots (P, ...):
@@ -426,28 +506,50 @@ class SchurOperator:
         return t
 
     def _solve_ete(self, t: jax.Array) -> jax.Array:
-        """(E'E + D_e^2)^{-1} t, batched (P, Te)."""
-        return jax.vmap(lambda c, b: jax.scipy.linalg.cho_solve((c, True), b))(
-            self._ete_chol, t
-        )
+        """(E'E + D_e^2)^{-1} t, batched (P, Te) — one einsum."""
+        return jnp.einsum("pij,pj->pi", self._ete_inv, t)
 
     def _embed_e(self, u: jax.Array) -> jax.Array:
         """(P, Te) point vector -> full tangent vector (zero on f)."""
         z = jnp.zeros((self.ctx.num_tangent,), dtype=self.dtype)
         return z.at[self.ss.e_group].set(u, unique_indices=True)
 
+    def _e_times(self, u: jax.Array) -> Tuple[jax.Array, ...]:
+        """E u for a point-space vector u (P, Te) -> per-family (B, r)
+        residual blocks (partitioned_matrix_view.h
+        RightMultiplyAndAccumulateE): one row gather of u per family —
+        no full-tangent embed/gather round trip."""
+        ctx, ss = self.ctx, self.ss
+        u_pad = jnp.concatenate(
+            [u, jnp.zeros((1, ss.e_tangent_size), u.dtype)], axis=0
+        )
+        out = []
+        for fi, fam in enumerate(ctx.families):
+            ea = ss.e_arg[fi]
+            if ea < 0:
+                out.append(
+                    jnp.zeros((fam.batch, fam.residual_size), u.dtype)
+                )
+                continue
+            uj = u_pad[ss.e_pos[fi]]  # (B, Te)
+            out.append(jnp.einsum("brt,bt->br", ctx.jacs[fi][ea], uj))
+        return tuple(out)
+
     # -- Schur products (implicit_schur_complement.cc:106-145) --------------
+    # All products are PARTITIONED (partitioned_matrix_view.h): the F side
+    # skips the e-arg columns, the E side touches only the e-arg — the
+    # implicit CG loop never evaluates full-J products.
 
     def s_times(self, x: jax.Array) -> jax.Array:
         """S x for x supported on f coords (full-length vector)."""
         ctx, ss, D = self.ctx, self.ss, self.D
         x = x * ss.f_mask
-        w1 = ctx.matvec(x)  # F x (per family, (B, r))
+        w1 = ctx.matvec(x, skip=ss.e_arg)  # F x (per family, (B, r))
         t = self._edot(w1)
         u = self._solve_ete(t)
-        w2 = ctx.matvec(self._embed_e(u))  # E (E'E)^-1 E' F x
+        w2 = self._e_times(u)  # E (E'E)^-1 E' F x
         diff = tuple(a - b for a, b in zip(w1, w2))
-        out = ctx.rmatvec(diff) + (D * D) * x
+        out = ctx.rmatvec(diff, skip=ss.e_arg) + (D * D) * x
         return out * ss.f_mask
 
     def rhs(self) -> jax.Array:
@@ -456,9 +558,9 @@ class SchurOperator:
         ctx, ss = self.ctx, self.ss
         t = self._edot(ctx.residuals)
         u = self._solve_ete(t)
-        w2 = ctx.matvec(self._embed_e(u))
+        w2 = self._e_times(u)
         diff = tuple(a - b for a, b in zip(ctx.residuals, w2))
-        return ctx.rmatvec(diff) * ss.f_mask
+        return ctx.rmatvec(diff, skip=ss.e_arg) * ss.f_mask
 
     def rhs_from_tangent(self, r: jax.Array) -> jax.Array:
         """Reduced rhs for an arbitrary tangent-space rhs r = [r_e; r_f]:
@@ -467,8 +569,8 @@ class SchurOperator:
         ss = self.ss
         r_e = r[ss.e_group]  # (P, Te)
         u = self._solve_ete(r_e)
-        w = self.ctx.matvec(self._embed_e(u))  # E u in residual space
-        corr = self.ctx.rmatvec(w)  # F'E u (+ e-part, masked below)
+        w = self._e_times(u)  # E u in residual space
+        corr = self.ctx.rmatvec(w, skip=ss.e_arg)  # F'E u
         return (r - corr) * ss.f_mask
 
     def back_substitute_tangent(self, x_f: jax.Array, r: jax.Array) -> jax.Array:
@@ -476,7 +578,7 @@ class SchurOperator:
         (r_e - E'F x_f)."""
         ss = self.ss
         x_f = x_f * ss.f_mask
-        EtFx = self._edot(self.ctx.matvec(x_f))  # (P, Te)
+        EtFx = self._edot(self.ctx.matvec(x_f, skip=ss.e_arg))  # (P, Te)
         u = self._solve_ete(r[ss.e_group] - EtFx)
         return x_f + self._embed_e(u)
 
@@ -485,7 +587,7 @@ class SchurOperator:
         (implicit_schur_complement.cc:208)."""
         ctx, ss = self.ctx, self.ss
         x_f = x_f * ss.f_mask
-        Jx = ctx.matvec(x_f)
+        Jx = ctx.matvec(x_f, skip=ss.e_arg)
         diff = tuple(r - w for r, w in zip(ctx.residuals, Jx))
         t = self._edot(diff)
         u = self._solve_ete(t)
@@ -504,11 +606,7 @@ class SchurOperator:
             T: jnp.zeros((idx.shape[0], T, T), dtype=self.dtype)
             for T, idx in ss.f_groups.items()
         }
-        inv_ete = jax.vmap(
-            lambda c: jax.scipy.linalg.cho_solve(
-                (c, True), jnp.eye(ss.e_tangent_size, dtype=self.dtype)
-            )
-        )(self._ete_chol)
+        inv_ete = self._ete_inv
         # zero row at index P: instances whose e-slot is a constant block
         # (e_pos == num_points) must contribute no correction
         inv_ete = jnp.concatenate(
@@ -550,22 +648,17 @@ class SchurOperator:
         return out
 
     def schur_jacobi_preconditioner(self):
+        from ceres_tpu.ops.small_linalg import spd_inverse
+
         blocks = self.schur_jacobi_blocks()
-        factors = {
-            T: jax.vmap(
-                lambda m: jax.scipy.linalg.cho_factor(m, lower=True)[0]
-            )(b)
-            for T, b in blocks.items()
-        }
+        inverses = {T: spd_inverse(b) for T, b in blocks.items()}
         ss = self.ss
 
         def apply(v: jax.Array) -> jax.Array:
             out = jnp.zeros_like(v)
             for T, idx in ss.f_groups.items():
                 vb = v[idx]
-                sol = jax.vmap(
-                    lambda c, b: jax.scipy.linalg.cho_solve((c, True), b)
-                )(factors[T], vb)
+                sol = jnp.einsum("gij,gj->gi", inverses[T], vb)
                 out = out.at[idx].set(sol)
             return out * ss.f_mask
 
@@ -602,20 +695,168 @@ class SchurOperator:
             eye[None, :, :],
             sub,
         )
-        factors = jax.vmap(
-            lambda mtx: jax.scipy.linalg.cho_factor(mtx, lower=True)[0]
-        )(sub)
+        from ceres_tpu.ops.small_linalg import spd_inverse
+
+        inverses = spd_inverse(sub)
         ss = self.ss
 
         def apply(v: jax.Array) -> jax.Array:
             v_pad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
             vb = v_pad[cluster_groups]  # (C, m)
-            sol = jax.vmap(
-                lambda c, b: jax.scipy.linalg.cho_solve((c, True), b)
-            )(factors, vb)
+            sol = jnp.einsum("cij,cj->ci", inverses, vb)
             out = jnp.zeros((n + 1,), dtype=v.dtype)
             out = out.at[cluster_groups].set(sol)
             return out[:n] * ss.f_mask
+
+        return apply
+
+    def cluster_tridiagonal_preconditioner(
+        self, cluster_groups: jax.Array, chain_clusters: jax.Array
+    ):
+        """CLUSTER_TRIDIAGONAL (visibility_based_preconditioner.h:127):
+        M = block tridiagonal part of S along the maximum-weight linear
+        forest of the cluster visibility graph.
+
+        TPU shape: the forest is degree-limited to paths (host side), so
+        M decomposes into independent block-tridiagonal chains. Diagonal
+        blocks A_k and sub-diagonal blocks B_k are extracted with batched
+        S.e_i probes, factorized as a block LDL' via one lax.scan per
+        chain level (vmapped over chains, batched m x m matmuls), and
+        applied with forward/backward block-Thomas sweeps — the batched
+        analog of the reference's sparse Cholesky of M
+        (visibility_based_preconditioner.cc Factorize).
+        """
+        from ceres_tpu.ops.small_linalg import spd_inverse
+
+        n = self.ctx.num_tangent
+        dt = self.dtype
+        C, m = cluster_groups.shape
+        K, L = chain_clusters.shape
+
+        def column(i):
+            e = jnp.zeros((n + 1,), dtype=dt).at[i].set(1.0)[:n]
+            return self.s_times(e)
+
+        # (C, m, n) probed columns of S per cluster coordinate.
+        cols = jax.vmap(jax.vmap(column))(cluster_groups)
+        pad_cols = jnp.concatenate(
+            [cols, jnp.zeros((C, m, 1), dtype=dt)], axis=2
+        )
+        is_dummy = cluster_groups >= n  # (C, m)
+        eye = jnp.eye(m, dtype=dt)
+
+        # Diagonal blocks A_c = S[coords_c, coords_c], identity on dummies.
+        diag = jax.vmap(lambda block, idx: block[:, idx])(
+            pad_cols, cluster_groups
+        )
+        diag = jnp.where(
+            (is_dummy[:, :, None] | is_dummy[:, None, :]), eye[None], diag
+        )
+        # Dummy cluster row (id C): identity block, dummy coords.
+        diag = jnp.concatenate([diag, eye[None]], axis=0)  # (C+1, m, m)
+        coords_pad = jnp.concatenate(
+            [cluster_groups, jnp.full((1, m), n, jnp.int32)], axis=0
+        )
+        dummy_pad = jnp.concatenate(
+            [is_dummy, jnp.ones((1, m), bool)], axis=0
+        )
+        cols_pad = jnp.concatenate(
+            [pad_cols, jnp.zeros((1, m, n + 1), dtype=dt)], axis=0
+        )
+
+        # Per chain: A_seq (L, m, m), B_seq (L, m, m) with
+        # B_k = S[coords_{k}, coords_{k-1}] (B_0 = 0).
+        A_seq = diag[chain_clusters]  # (K, L, m, m)
+
+        def chain_offdiag(chain):
+            prev = chain[:-1]
+            cur = chain[1:]
+            # S[coords_cur, coords_prev] = cols[prev][:, coords_cur].T
+            blocks = cols_pad[prev]  # (L-1, m, n+1)
+            cc = coords_pad[cur]  # (L-1, m)
+            sub = jax.vmap(lambda b, idx: b[:, idx].T)(blocks, cc)
+            # zero when either side is dummy
+            dz = dummy_pad[prev][:, None, :] | dummy_pad[cur][:, :, None]
+            sub = jnp.where(dz, 0.0, sub)
+            return jnp.concatenate(
+                [jnp.zeros((1, m, m), dtype=dt), sub], axis=0
+            )  # (L, m, m)
+
+        B_seq = jax.vmap(chain_offdiag)(chain_clusters)  # (K, L, m, m)
+
+        # Block LDL' along each chain: D_1 = A_1,
+        # W_k = B_k D_{k-1}^{-1}, D_k = A_k - W_k B_k'.
+        #
+        # The tridiagonal truncation of an SPD matrix need not be SPD
+        # (strong coupling through dropped blocks) — the reference's
+        # sparse Cholesky of M fails there too
+        # (visibility_based_preconditioner.cc Factorize returning
+        # failure). Guard per link: when a chain Schur complement D_k
+        # stops being SPD, drop that link's coupling (W_k = 0) and
+        # restart from A_k — the chain splits, degrading locally toward
+        # CLUSTER_JACOBI while M stays SPD.
+        def factor(A_seq, B_seq):
+            def step(Dinv_prev, inp):
+                A, B = inp
+                W = B @ Dinv_prev
+                D = A - W @ jnp.swapaxes(B, -1, -2)
+                Dinv = spd_inverse(D)
+                bad = ~jnp.all(jnp.isfinite(Dinv))
+                # cheap positive-definiteness probe: v'Dv > 0 for a few
+                # deterministic directions (diag must be positive too)
+                bad = bad | jnp.any(jnp.diagonal(D) <= 0.0)
+                Dinv_safe = jnp.where(bad, spd_inverse(A), Dinv)
+                W_safe = jnp.where(bad, jnp.zeros_like(W), W)
+                return Dinv_safe, (Dinv_safe, W_safe)
+
+            Dinv0 = spd_inverse(A_seq[0])
+            _, (Dinvs, Ws) = jax.lax.scan(
+                step, Dinv0, (A_seq[1:], B_seq[1:])
+            )
+            Dinvs = jnp.concatenate([Dinv0[None], Dinvs], axis=0)
+            Ws = jnp.concatenate([jnp.zeros((1, m, m), dt), Ws], axis=0)
+            return Dinvs, Ws
+
+        Dinvs, Ws = jax.vmap(factor)(A_seq, B_seq)  # (K, L, m, m)
+
+        def apply(v: jax.Array) -> jax.Array:
+            v_pad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+            vc = v_pad[cluster_groups]  # (C, m)
+            vc = jnp.concatenate([vc, jnp.zeros((1, m), v.dtype)], axis=0)
+            vk = vc[chain_clusters]  # (K, L, m)
+
+            def solve_chain(vk, Dinvs, Ws):
+                # forward: y_k = v_k - W_k y_{k-1}
+                def fwd(y_prev, inp):
+                    v_k, W_k = inp
+                    y = v_k - W_k @ y_prev
+                    return y, y
+
+                y0 = vk[0]
+                _, ys = jax.lax.scan(fwd, y0, (vk[1:], Ws[1:]))
+                ys = jnp.concatenate([y0[None], ys], axis=0)
+                zs = jnp.einsum("lij,lj->li", Dinvs, ys)
+
+                # backward: x_k = z_k - W_{k+1}' x_{k+1}
+                def bwd(x_next, inp):
+                    z_k, W_next = inp
+                    x = z_k - jnp.swapaxes(W_next, -1, -2) @ x_next
+                    return x, x
+
+                xL = zs[-1]
+                _, xs = jax.lax.scan(
+                    bwd, xL, (zs[:-1], Ws[1:]), reverse=True
+                )
+                return jnp.concatenate([xs, xL[None]], axis=0)
+
+            xk = jax.vmap(solve_chain)(vk, Dinvs, Ws)  # (K, L, m)
+            # scatter back: every real cluster appears exactly once
+            out = jnp.zeros((n + 1,), dtype=v.dtype)
+            flat_coords = coords_pad[chain_clusters]  # (K, L, m)
+            out = out.at[flat_coords.reshape(-1)].set(
+                xk.reshape(-1), mode="drop"
+            )
+            return out[:n] * self.ss.f_mask
 
         return apply
 
@@ -735,13 +976,23 @@ def solve_schur(
     # ITERATIVE_SCHUR
     if options.preconditioner_type == PreconditionerType.SCHUR_JACOBI:
         M = op.schur_jacobi_preconditioner()
-    elif options.preconditioner_type in (
-        PreconditionerType.CLUSTER_JACOBI,
-        PreconditionerType.CLUSTER_TRIDIAGONAL,
-    ):
-        # CLUSTER_TRIDIAGONAL currently shares the clustered-block
-        # implementation (forest edges between clusters are dropped).
+    elif options.preconditioner_type == PreconditionerType.CLUSTER_JACOBI:
         if ss.cluster_groups is not None:
+            M = op.clustered_preconditioner(ss.cluster_groups)
+        else:
+            M = op.schur_jacobi_preconditioner()
+    elif (
+        options.preconditioner_type
+        == PreconditionerType.CLUSTER_TRIDIAGONAL
+    ):
+        if (
+            ss.cluster_groups is not None
+            and ss.chain_clusters is not None
+        ):
+            M = op.cluster_tridiagonal_preconditioner(
+                ss.cluster_groups, ss.chain_clusters
+            )
+        elif ss.cluster_groups is not None:
             M = op.clustered_preconditioner(ss.cluster_groups)
         else:
             M = op.schur_jacobi_preconditioner()

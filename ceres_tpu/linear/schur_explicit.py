@@ -401,10 +401,7 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
 
     # ---- correction W' M^{-1} W -------------------------------------------
     # Minv (P, Te, Te) with a zero dummy row (constant-point instances).
-    eye = jnp.eye(Te, dtype=dt)
-    Minv = jax.vmap(
-        lambda c: jax.scipy.linalg.cho_solve((c, True), eye)
-    )(op._ete_chol)
+    Minv = op._ete_inv
     Minv = jnp.concatenate(
         [Minv, jnp.zeros((1, Te, Te), dtype=dt)], axis=0
     )

@@ -235,11 +235,20 @@ def build_problem(
     p = ct.Problem()
     cam_ids = p.add_parameter_blocks(bal.cameras)
     pt_ids = p.add_parameter_blocks(bal.points)
+    # Order observations lexicographically by point id (the reference's
+    # reorder_program.cc LexicographicallyOrderResidualBlocks does the
+    # same for Schur solvers): the point-side segment reductions then
+    # read near-sequential rows instead of random-gathering, which is
+    # several times faster on TPU.
+    order = np.argsort(bal.point_index, kind="stable")
     p.add_residual_blocks(
         snavely_reprojection_residual,
         loss,
-        [cam_ids[bal.camera_index], pt_ids[bal.point_index]],
-        data=bal.observations,
+        [
+            cam_ids[bal.camera_index[order]],
+            pt_ids[bal.point_index[order]],
+        ],
+        data=bal.observations[order],
     )
     return p, cam_ids, pt_ids
 

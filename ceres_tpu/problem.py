@@ -237,9 +237,17 @@ class Problem:
     def get_manifold(self, pid: int) -> Optional[Manifold]:
         return self._pb(pid).manifold
 
+    def _check_bound_index(self, rec, index: int) -> None:
+        if not (0 <= int(index) < rec.size):
+            raise ValueError(
+                f"bound index {index} out of range for block of size "
+                f"{rec.size} (problem.h:333 CHECK)"
+            )
+
     def set_parameter_lower_bound(self, pid: int, index: int, value: float) -> None:
         """problem.h:333-341."""
         rec = self._pb(pid)
+        self._check_bound_index(rec, index)
         if rec.lower is None:
             rec.lower = np.full(rec.size, -np.inf)
         rec.lower[index] = value
@@ -247,6 +255,7 @@ class Problem:
 
     def set_parameter_upper_bound(self, pid: int, index: int, value: float) -> None:
         rec = self._pb(pid)
+        self._check_bound_index(rec, index)
         if rec.upper is None:
             rec.upper = np.full(rec.size, np.inf)
         rec.upper[index] = value

@@ -210,6 +210,8 @@ class SolverSummary:
     # Linear solves that terminated with FAILURE (breakdown /
     # indefiniteness; each becomes an invalid step) — linear_solver.h:57-74.
     num_linear_solver_failures: int = 0
+    # Total inner (CG/Krylov) iterations across the solve.
+    num_linear_solver_iterations: int = 0
     preprocessor_time_in_seconds: float = 0.0
     minimizer_time_in_seconds: float = 0.0
     postprocessor_time_in_seconds: float = 0.0

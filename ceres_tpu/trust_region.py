@@ -209,6 +209,10 @@ def _build_solve_aux(options, program: Program):
             PreconditionerType.CLUSTER_JACOBI,
             PreconditionerType.CLUSTER_TRIDIAGONAL,
         )
+        with_forest = (
+            options.preconditioner_type
+            == PreconditionerType.CLUSTER_TRIDIAGONAL
+        )
         with_explicit = options.linear_solver_type in (
             LinearSolverType.DENSE_SCHUR,
             LinearSolverType.SPARSE_SCHUR,
@@ -218,12 +222,14 @@ def _build_solve_aux(options, program: Program):
             schur_structure is None
             or ordering is not None
             or (with_clusters and schur_structure.cluster_groups is None)
+            or (with_forest and schur_structure.chain_clusters is None)
         ):
             schur_structure = build_schur_structure(
                 program,
                 ordering=ordering,
                 with_clusters=with_clusters,
                 with_explicit=with_explicit,
+                with_forest=with_forest,
             )
             program._schur_structure = schur_structure
         elif with_explicit and schur_structure.explicit is None:

@@ -93,6 +93,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
         p_i32,
     ]
     lib.single_linkage_cluster.restype = i64
+    lib.canonical_views_cluster.argtypes = [
+        i64,
+        i64,
+        i64,
+        p_i32,
+        p_i32,
+        i64,
+        ctypes.c_double,
+        ctypes.c_double,
+        p_i32,
+    ]
+    lib.canonical_views_cluster.restype = i64
+    lib.max_weight_linear_forest.argtypes = [
+        i64,
+        i64,
+        i64,
+        p_i32,
+        p_i32,
+        p_i32,
+        p_i32,
+    ]
+    lib.max_weight_linear_forest.restype = i64
     _lib = lib
     return _lib
 
@@ -221,3 +243,66 @@ def camera_clusters(
         _i32p(cluster),
     )
     return int(nc), cluster
+
+
+def canonical_views_clusters(
+    num_cameras: int,
+    num_points: int,
+    camera_index: np.ndarray,
+    point_index: np.ndarray,
+    min_views: int = 3,
+    size_penalty_weight: float = 3.0,
+    similarity_penalty_weight: float = 0.0,
+):
+    """Canonical-views clustering of cameras
+    (canonical_views_clustering.h:98; weights are the
+    visibility_based_preconditioner.cc kCanonicalViews* defaults);
+    None if native core unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ci = np.ascontiguousarray(camera_index, dtype=np.int32)
+    pi = np.ascontiguousarray(point_index, dtype=np.int32)
+    cluster = np.empty(num_cameras, dtype=np.int32)
+    nc = lib.canonical_views_cluster(
+        num_cameras,
+        num_points,
+        ci.shape[0],
+        _i32p(ci),
+        _i32p(pi),
+        int(min_views),
+        size_penalty_weight,
+        similarity_penalty_weight,
+        _i32p(cluster),
+    )
+    return int(nc), cluster
+
+
+def cluster_linear_forest(
+    num_clusters: int,
+    num_points: int,
+    cluster_index: np.ndarray,
+    point_index: np.ndarray,
+):
+    """Maximum-weight linear forest (degree-<=2 spanning paths) over the
+    cluster visibility graph — the edge set of the CLUSTER_TRIDIAGONAL
+    preconditioner (visibility_based_preconditioner.h:127). Returns
+    (edge_a, edge_b) int32 arrays, or None if native core unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ci = np.ascontiguousarray(cluster_index, dtype=np.int32)
+    pi = np.ascontiguousarray(point_index, dtype=np.int32)
+    cap = max(int(num_clusters) - 1, 1)
+    ea = np.empty(cap, dtype=np.int32)
+    eb = np.empty(cap, dtype=np.int32)
+    ne = lib.max_weight_linear_forest(
+        num_clusters,
+        num_points,
+        ci.shape[0],
+        _i32p(ci),
+        _i32p(pi),
+        _i32p(ea),
+        _i32p(eb),
+    )
+    return ea[: int(ne)].copy(), eb[: int(ne)].copy()

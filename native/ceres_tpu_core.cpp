@@ -19,6 +19,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
+#include <map>
 #include <numeric>
 #include <vector>
 
@@ -275,6 +277,181 @@ int64_t single_linkage_cluster(int64_t num_cameras, int64_t num_points,
     cluster[c] = remap[r];
   }
   return nclusters;
+}
+
+// ---------------------------------------------------------------------------
+// Canonical-views clustering (canonical_views_clustering.{h,cc}): greedily
+// pick canonical cameras maximizing
+//   sum_i max(0, sim(i,c) - max_sim_to_chosen(i))
+//   - size_penalty_weight - similarity_penalty_weight * max_sim(c, chosen)
+// then assign every camera to its most-similar canonical view. Similarity
+// = shared-point count normalized by min visibility (same metric as
+// single_linkage_cluster above). Writes dense cluster ids; returns the
+// number of clusters (canonical views picked).
+// ---------------------------------------------------------------------------
+
+int64_t canonical_views_cluster(int64_t num_cameras, int64_t num_points,
+                                int64_t num_obs, const int32_t* camera_index,
+                                const int32_t* point_index, int64_t min_views,
+                                double size_penalty_weight,
+                                double similarity_penalty_weight,
+                                int32_t* cluster) {
+  std::vector<int64_t> pc(num_points + 1, 0);
+  for (int64_t i = 0; i < num_obs; ++i) pc[point_index[i] + 1]++;
+  std::partial_sum(pc.begin(), pc.end(), pc.begin());
+  std::vector<int32_t> plist(num_obs);
+  std::vector<int64_t> fill(pc.begin(), pc.end() - 1);
+  for (int64_t i = 0; i < num_obs; ++i)
+    plist[fill[point_index[i]]++] = camera_index[i];
+  std::vector<int64_t> vis(num_cameras, 0);
+  for (int64_t i = 0; i < num_obs; ++i) vis[camera_index[i]]++;
+
+  // Similarity graph (visibility.cc CreateSchurComplementGraph):
+  // w(a,b) = #shared / sqrt(vis_a * vis_b), self edges w(i,i) = 1.
+  std::vector<double> sim((size_t)num_cameras * num_cameras, 0.0);
+  {
+    std::vector<int64_t> shared((size_t)num_cameras * num_cameras, 0);
+    for (int64_t p = 0; p < num_points; ++p)
+      for (int64_t a = pc[p]; a < pc[p + 1]; ++a)
+        for (int64_t b = a + 1; b < pc[p + 1]; ++b) {
+          int32_t ca = plist[a], cb = plist[b];
+          if (ca != cb)
+            shared[(size_t)std::min(ca, cb) * num_cameras +
+                   std::max(ca, cb)]++;
+        }
+    for (int32_t a = 0; a < num_cameras; ++a) {
+      sim[(size_t)a * num_cameras + a] = 1.0;
+      for (int32_t b = a + 1; b < num_cameras; ++b) {
+        int64_t s = shared[(size_t)a * num_cameras + b];
+        if (s == 0) continue;
+        double denom = std::sqrt((double)vis[a] * (double)vis[b]);
+        double v = denom > 0 ? (double)s / denom : 0.0;
+        sim[(size_t)a * num_cameras + b] = v;
+        sim[(size_t)b * num_cameras + a] = v;
+      }
+    }
+  }
+
+  // Greedy selection (canonical_views_clustering.cc:108-135): pick the
+  // argmax quality difference; keep going while gain > 0 OR fewer than
+  // min_views centers.
+  std::vector<double> best_to_chosen(num_cameras, 0.0);
+  std::vector<int32_t> assigned_center(num_cameras, -1);
+  std::vector<int32_t> canonical;
+  std::vector<char> chosen(num_cameras, 0);
+  while ((int64_t)canonical.size() < num_cameras) {
+    double best_gain = -1e300;
+    int32_t best_view = -1;
+    for (int32_t c = 0; c < num_cameras; ++c) {
+      if (chosen[c]) continue;
+      double gain = 0.0;
+      for (int32_t i = 0; i < num_cameras; ++i) {
+        double s = sim[(size_t)c * num_cameras + i];
+        if (s > best_to_chosen[i]) gain += s - best_to_chosen[i];
+      }
+      gain -= size_penalty_weight;
+      for (int32_t k : canonical)
+        gain -= similarity_penalty_weight *
+                sim[(size_t)c * num_cameras + k];
+      if (gain > best_gain) {
+        best_gain = gain;
+        best_view = c;
+      }
+    }
+    if (best_view < 0) break;
+    if (best_gain <= 0 && (int64_t)canonical.size() >= min_views) break;
+    chosen[best_view] = 1;
+    canonical.push_back(best_view);
+    for (int32_t i = 0; i < num_cameras; ++i) {
+      double s = sim[(size_t)best_view * num_cameras + i];
+      if (s > best_to_chosen[i]) {
+        best_to_chosen[i] = s;
+        assigned_center[i] = (int32_t)canonical.size() - 1;
+      }
+    }
+  }
+  // Membership (ComputeClusterMembership): assigned during selection;
+  // unreachable views become singleton clusters.
+  int64_t nclusters = (int64_t)canonical.size();
+  for (int32_t i = 0; i < num_cameras; ++i) {
+    if (assigned_center[i] >= 0)
+      cluster[i] = assigned_center[i];
+    else
+      cluster[i] = (int32_t)nclusters++;
+  }
+  return nclusters;
+}
+
+// ---------------------------------------------------------------------------
+// Maximum-weight linear forest over the cluster visibility graph
+// (visibility_based_preconditioner.cc ForestToClusterPairs analog,
+// degree-constrained to <= 2 so every tree is a PATH): greedy Kruskal on
+// cluster-pair shared-point weights, rejecting edges that would create a
+// cycle or raise a degree above 2. The resulting chains make the
+// CLUSTER_TRIDIAGONAL preconditioner literally block tridiagonal, which
+// maps to a batched block-Thomas solve on TPU.
+// Inputs: per-observation (cluster id, point id). Output: edges as
+// (a, b) pairs into edge_a/edge_b (capacity num_clusters-1); returns the
+// number of edges written.
+// ---------------------------------------------------------------------------
+
+int64_t max_weight_linear_forest(int64_t num_clusters, int64_t num_points,
+                                 int64_t num_obs,
+                                 const int32_t* cluster_index,
+                                 const int32_t* point_index, int32_t* edge_a,
+                                 int32_t* edge_b) {
+  std::vector<int64_t> pcount(num_points + 1, 0);
+  for (int64_t i = 0; i < num_obs; ++i) pcount[point_index[i] + 1]++;
+  std::partial_sum(pcount.begin(), pcount.end(), pcount.begin());
+  std::vector<int32_t> plist(num_obs);
+  std::vector<int64_t> fill(pcount.begin(), pcount.end() - 1);
+  for (int64_t i = 0; i < num_obs; ++i)
+    plist[fill[point_index[i]]++] = cluster_index[i];
+
+  // cluster-pair weights (dedup repeated cluster ids per point first)
+  std::map<std::pair<int32_t, int32_t>, int64_t> w;
+  std::vector<int32_t> seen;
+  for (int64_t p = 0; p < num_points; ++p) {
+    seen.clear();
+    for (int64_t a = pcount[p]; a < pcount[p + 1]; ++a) {
+      int32_t c = plist[a];
+      if (std::find(seen.begin(), seen.end(), c) == seen.end())
+        seen.push_back(c);
+    }
+    for (size_t a = 0; a < seen.size(); ++a)
+      for (size_t b = a + 1; b < seen.size(); ++b)
+        w[{std::min(seen[a], seen[b]), std::max(seen[a], seen[b])}]++;
+  }
+  std::vector<std::pair<int64_t, std::pair<int32_t, int32_t>>> edges;
+  edges.reserve(w.size());
+  for (auto& kv : w) edges.push_back({kv.second, kv.first});
+  std::sort(edges.begin(), edges.end(),
+            [](const auto& x, const auto& y) { return x.first > y.first; });
+
+  std::vector<int32_t> parent(num_clusters), degree(num_clusters, 0);
+  std::iota(parent.begin(), parent.end(), 0);
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  int64_t nedges = 0;
+  for (auto& e : edges) {
+    int32_t a = e.second.first, b = e.second.second;
+    if (degree[a] >= 2 || degree[b] >= 2) continue;
+    int32_t ra = find(a), rb = find(b);
+    if (ra == rb) continue;
+    parent[ra] = rb;
+    degree[a]++;
+    degree[b]++;
+    edge_a[nedges] = a;
+    edge_b[nedges] = b;
+    ++nedges;
+    if (nedges >= num_clusters - 1) break;
+  }
+  return nedges;
 }
 
 }  // extern "C"

@@ -82,7 +82,7 @@ def test_refined_step_more_accurate_than_f32():
             x = x.astype(eval_dtype)
         full = ev.cost_gradient_jacobian(x)
         step_fn = _make_lm_step_fn(opts, program)
-        step, mcc, _ = step_fn(
+        step, mcc, _, _ = step_fn(
             full.jacobian_context, jnp.asarray(1e4, jnp.float64)
         )
         return np.asarray(step, dtype=np.float64)
