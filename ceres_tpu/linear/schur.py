@@ -125,6 +125,10 @@ class SchurStructure:
     # built on demand for DENSE/SPARSE_SCHUR, explicit-S ITERATIVE_SCHUR
     # and Schur-marginal covariance.
     explicit: Optional[object] = None
+    # 2-D mesh: NamedSharding constraining point-space intermediates
+    # ((P, ...) arrays) to the 'pt' axis (parallel/sharding.make_mesh_2d).
+    # Meta field: hashable, not traced.
+    point_sharding: Optional[object] = None
 
 
 jax.tree_util.register_dataclass(
@@ -133,7 +137,7 @@ jax.tree_util.register_dataclass(
         "e_group", "f_mask", "f_idx", "e_pos", "f_groups", "f_pos",
         "cluster_groups", "chain_clusters", "e_plan", "f_plan", "explicit",
     ],
-    meta_fields=["num_points", "e_tangent_size", "e_arg"],
+    meta_fields=["num_points", "e_tangent_size", "e_arg", "point_sharding"],
 )
 
 
@@ -296,12 +300,25 @@ def build_schur_structure(
         chain_clusters=chain_clusters,
         e_plan=e_plan,
         f_plan=tuple(f_plan),
+        point_sharding=_point_sharding_of(program),
     )
     if with_explicit:
         from ceres_tpu.linear.schur_explicit import build_explicit_plan
 
         ss.explicit = build_explicit_plan(program, ss)
     return ss
+
+
+def _point_sharding_of(program):
+    """NamedSharding for point-space (P, ...) arrays when the program is
+    sharded over a 2-D mesh with a 'pt' axis; None otherwise."""
+    mesh = getattr(program, "mesh", None)
+    pt = getattr(program, "point_axis", None)
+    if mesh is None or pt is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(pt))
 
 
 def ensure_explicit_plan(program, ss: SchurStructure) -> SchurStructure:
@@ -472,7 +489,17 @@ class SchurOperator:
         # (P, 3, 3) operands is orders of magnitude slower on TPU.
         from ceres_tpu.ops.small_linalg import spd_inverse
 
-        self._ete_inv = spd_inverse(ete)
+        self._ete_inv = self._constrain_pt(spd_inverse(ete))
+
+    def _constrain_pt(self, a: jax.Array) -> jax.Array:
+        """Pin a point-space (P, ...) array to the mesh's 'pt' axis (2-D
+        mesh layout, parallel/sharding.make_mesh_2d): with observations
+        sorted by point, the E'w reductions and (E'E)^-1 applies stay
+        local to the pt column and only the reduced camera system is
+        all-reduced across the mesh."""
+        if self.ss.point_sharding is None:
+            return a
+        return jax.lax.with_sharding_constraint(a, self.ss.point_sharding)
 
     def _reduce_e(self, fi: int, contrib: jax.Array) -> jax.Array:
         """Sum per-instance contributions into per-point slots (P, ...):
@@ -481,11 +508,15 @@ class SchurOperator:
         if ss.e_plan is not None and ss.e_plan[fi] is not None:
             from ceres_tpu.ops.reduce import apply_reduce
 
-            return apply_reduce(ss.e_plan[fi], contrib)[: ss.num_points]
+            return self._constrain_pt(
+                apply_reduce(ss.e_plan[fi], contrib)[: ss.num_points]
+            )
         out = jnp.zeros(
             (ss.num_points,) + contrib.shape[1:], dtype=contrib.dtype
         )
-        return out.at[ss.e_pos[fi]].add(contrib, mode="drop")
+        return self._constrain_pt(
+            out.at[ss.e_pos[fi]].add(contrib, mode="drop")
+        )
 
     # -- primitive products -------------------------------------------------
 

@@ -15,9 +15,16 @@ The analog of ``Solver::Options::num_threads`` is
 
 from ceres_tpu.parallel.sharding import (
     make_mesh,
+    make_mesh_2d,
     pad_family,
     shard_program,
     replicate,
 )
 
-__all__ = ["make_mesh", "pad_family", "shard_program", "replicate"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "pad_family",
+    "shard_program",
+    "replicate",
+]

@@ -34,6 +34,9 @@ from ceres_tpu.problem import Family, Program
 OBS_AXIS = "obs"
 
 
+PT_AXIS = "pt"
+
+
 def make_mesh(
     n_devices: Optional[int] = None, axis_name: str = OBS_AXIS
 ) -> Mesh:
@@ -51,6 +54,30 @@ def make_mesh(
         (len(devs),),
         (axis_name,),
         axis_types=(jax.sharding.AxisType.Auto,),
+        devices=devs,
+    )
+
+
+def make_mesh_2d(
+    obs: int,
+    pt: int,
+    axis_names: Sequence[str] = (OBS_AXIS, PT_AXIS),
+) -> Mesh:
+    """2-D mesh (obs x pt): residual batches shard over BOTH axes (pure
+    data parallelism over observations), while the point (e-block) system
+    — E'E inverses, point-space vectors, the ELL reduction table — is
+    constrained to shard over ``pt`` only. With observations sorted by
+    point (models/bal.py), each (obs-row, pt-col) device owns the point
+    slots its own observations feed, so the E'w reduction stays local to
+    the pt column and only the small reduced camera system is
+    all-reduced across the full mesh (schur_eliminator.h:143-152
+    additivity). DCN-friendly layout: put ``pt`` on the slower axis.
+    """
+    devs = jax.devices()[: obs * pt]
+    return jax.make_mesh(
+        (obs, pt),
+        tuple(axis_names),
+        axis_types=(jax.sharding.AxisType.Auto,) * 2,
         devices=devs,
     )
 
@@ -239,15 +266,26 @@ def shard_program(
     evaluations (Evaluator, trust-region step, Schur solves) are GSPMD-
     partitioned with collectives over the mesh — the whole-solve analog of
     ``Context::EnsureMinimumThreads`` + ``ParallelFor``.
+
+    On a 2-D mesh (make_mesh_2d) the batch axis shards over BOTH mesh
+    axes and the point (Schur e-block) system is constrained to the
+    ``pt`` axis (see SchurStructure.point_sharding).
     """
-    n = mesh.shape[axis_name]
+    axes = [axis_name]
+    if PT_AXIS in mesh.shape and axis_name != PT_AXIS:
+        axes.append(PT_AXIS)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    batch_axes = tuple(axes) if len(axes) > 1 else axis_name
     dt = getattr(program, "eval_dtype", None)
     program.families = [
-        _shard_family(pad_family(f, n, dtype=dt), mesh, axis_name)
+        _shard_family(pad_family(f, n, dtype=dt), mesh, batch_axes)
         for f in program.families
     ]
     program.mesh = mesh
     program.mesh_axis = axis_name
+    program.point_axis = PT_AXIS if len(axes) > 1 else None
     # Invalidate any cached Schur structure built on unpadded batches.
     if hasattr(program, "_schur_structure"):
         del program._schur_structure

@@ -40,6 +40,17 @@ FAST_EXAMPLES = [
         "denoising",
         ["--crop", "16", "--num_iterations", "2"],
     ),
+    ("iteration_callback_example", []),
+    ("evaluation_callback_example", []),
+    (
+        "ellipse_approximation",
+        ["--num_segments", "40", "--num_points", "60", "--max_iterations", "10"],
+    ),
+    ("more_garbow_hillstrom", ["--problem", "rosenbrock"]),
+    (
+        "more_garbow_hillstrom",
+        ["--problem", "beale", "--minimizer", "line_search"],
+    ),
 ]
 
 
