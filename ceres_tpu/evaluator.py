@@ -53,15 +53,27 @@ def _family_flatten(f: Family):
         f.loss,
         f.bd_pos,
         f.mask,
+        f.amb_pos,
+        f.amb_tab,
         f.reduce_plans,
     )
-    aux = (f.structure, f.batch)
+    aux = (f.structure, f.batch, f.amb_slice)
     return children, aux
 
 
 def _family_unflatten(aux, children):
-    structure, batch = aux
-    ambient_idx, tangent_idx, data, loss, bd_pos, mask, reduce_plans = children
+    structure, batch, amb_slice = aux
+    (
+        ambient_idx,
+        tangent_idx,
+        data,
+        loss,
+        bd_pos,
+        mask,
+        amb_pos,
+        amb_tab,
+        reduce_plans,
+    ) = children
     return Family(
         structure=structure,
         loss=loss,
@@ -73,6 +85,9 @@ def _family_unflatten(aux, children):
         block_ids=None,
         bd_pos=bd_pos,
         mask=mask,
+        amb_pos=amb_pos,
+        amb_tab=amb_tab,
+        amb_slice=amb_slice,
         reduce_plans=reduce_plans,
     )
 
@@ -103,10 +118,38 @@ def _instance_fn(structure):
     return inst
 
 
+def _gather_blocks(family: Family, x: jax.Array):
+    """Gather the per-instance parameter blocks (B, A_j) per arg.
+
+    Grouped path: one small (G_A, A) table gather + a (B,) row gather per
+    arg — an order of magnitude faster on TPU than the (B, A)
+    elementwise gather (general gathers execute near-serially per
+    element; row gathers move whole tiles)."""
+    if family.amb_pos and family.amb_tab:
+        out = []
+        for j in range(len(family.amb_pos)):
+            sl = (
+                family.amb_slice[j]
+                if j < len(family.amb_slice)
+                else None
+            )
+            if sl is not None:
+                start, G, A = sl
+                # contiguous group: the table is a free slice+reshape
+                tab = jax.lax.dynamic_slice(x, (start,), (G * A,)).reshape(
+                    G, A
+                )
+            else:
+                tab = x[family.amb_tab[j]]  # (G_A, A): small
+            out.append(tab[family.amb_pos[j]])  # (B, A): row gather
+        return tuple(out)
+    return tuple(x[idx] for idx in family.ambient_idx)
+
+
 def family_residuals(family: Family, x: jax.Array) -> jax.Array:
     """Raw residuals (B, r)."""
     st = family.structure
-    blocks = tuple(x[idx] for idx in family.ambient_idx)
+    blocks = _gather_blocks(family, x)
     B = family.batch
     bucket = EVAL_BUCKET_SIZE
     if bucket > 0 and B > bucket and B % bucket == 0:
@@ -160,7 +203,7 @@ def family_residuals_and_jacobians(
     One fused vmapped forward-mode pass (replaces Jets + PlusJacobian)."""
     st = family.structure
     inst = _instance_fn(st)
-    blocks = tuple(x[idx] for idx in family.ambient_idx)
+    blocks = _gather_blocks(family, x)
 
     def res_and_jac(bs, ds, data):
         def f(deltas):

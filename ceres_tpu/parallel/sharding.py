@@ -163,6 +163,9 @@ def pad_family(fam: Family, multiple: int, dtype=None) -> Family:
         else np.concatenate([fam.block_ids, np.repeat(fam.block_ids[:1], pad, 0)]),
         bd_pos=bd_pos,
         mask=mask,
+        amb_pos=tuple(_pad_batch(a, pad) for a in fam.amb_pos),
+        amb_tab=fam.amb_tab,
+        amb_slice=fam.amb_slice,
         reduce_plans=reduce_plans,
     )
 
@@ -228,6 +231,11 @@ def _shard_family(fam: Family, mesh: Mesh, axis_name: str) -> Family:
         block_ids=fam.block_ids,
         bd_pos=tuple(put(b) for b in fam.bd_pos),
         mask=put(fam.mask),
+        amb_pos=tuple(put(a) for a in fam.amb_pos),
+        amb_tab=tuple(
+            jax.device_put(t, NamedSharding(mesh, P())) for t in fam.amb_tab
+        ),
+        amb_slice=fam.amb_slice,
         reduce_plans=reduce_plans,
     )
 

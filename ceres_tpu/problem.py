@@ -306,6 +306,12 @@ class Problem:
         vector for ONE instance, in pure jnp. Blocks arrive as 1-D arrays.
         """
         pids = tuple(int(p) for p in np.atleast_1d(np.asarray(param_ids)).ravel())
+        if len(set(pids)) != len(pids):
+            # problem_impl.cc CHECK: a residual block may not reference
+            # the same parameter block twice (fuse the arguments instead).
+            raise ValueError(
+                f"duplicate parameter blocks in residual block: {pids}"
+            )
         for p in pids:
             self._pb(p)  # validate
         rid = self._next_rid
@@ -598,6 +604,18 @@ class Family:
     # residuals and jacobian blocks are zeroed in the evaluator so every
     # downstream reduction ignores them. None means all rows are valid.
     mask: Optional[jax.Array] = None
+    # Grouped ambient gather: per-arg (B,) row index into the ambient
+    # size-group table (Program.amb_groups) and the (G_A, A) table
+    # itself. When present the evaluator gathers blocks as
+    # x[amb_tab][amb_pos] (one small table gather + a row gather) instead
+    # of the near-serial (B, A) elementwise gather x[ambient_idx].
+    amb_pos: Tuple = ()
+    amb_tab: Tuple = ()
+    # Static per-arg (start, G, A) when the size-group's ambient
+    # coordinates are one contiguous range (the usual layout): the table
+    # gather then compiles to a free slice+reshape. () / None entries
+    # fall back to the table gather.
+    amb_slice: Tuple = ()
     # Per-arg segment-reduction plans (ceres_tpu.ops.reduce) turning the
     # batch -> block-diagonal-group accumulations (gradient, diag(J'J),
     # block Jacobi) into MXU matmuls / ELL gathers instead of scatter-adds.
@@ -661,6 +679,36 @@ class Program:
             rows.append(np.arange(toff, toff + T, dtype=np.int32))
         for T, rows in group_rows.items():
             self.bd_groups[T] = np.stack(rows)
+
+        # Ambient grouping of ALL blocks (constant included — the
+        # evaluator gathers their values too) by ambient size: families
+        # gather parameter blocks as table-row gathers
+        # (x[amb_group] -> (G_A, A) table, then (B,) row picks) instead
+        # of (B, A) elementwise gathers — ~8x faster on TPU, where a
+        # general gather of B*A scalars is near-serial.
+        self.amb_groups: Dict[int, np.ndarray] = {}
+        self.amb_pos_of_pid: Dict[int, Tuple[int, int]] = {}
+        agroup_rows: Dict[int, List[np.ndarray]] = {}
+        for rec in blocks:
+            A = rec.size
+            aoff = self.ambient_offset[rec.pid]
+            rows = agroup_rows.setdefault(A, [])
+            self.amb_pos_of_pid[rec.pid] = (A, len(rows))
+            rows.append(np.arange(aoff, aoff + A, dtype=np.int32))
+        for A, rows in agroup_rows.items():
+            self.amb_groups[A] = np.stack(rows)
+        # Contiguity: when a group's coordinates are one flat range the
+        # evaluator's table gather becomes a slice+reshape.
+        self.amb_slice_of: Dict[int, Optional[Tuple[int, int, int]]] = {}
+        for A, tab in self.amb_groups.items():
+            flat = tab.ravel()
+            start = int(flat[0])
+            if np.array_equal(
+                flat, np.arange(start, start + flat.size, dtype=flat.dtype)
+            ):
+                self.amb_slice_of[A] = (start, tab.shape[0], A)
+            else:
+                self.amb_slice_of[A] = None
 
         self._build_bounds()
         self._build_plus()
@@ -849,18 +897,26 @@ class Program:
 
             bd_pos = []
             reduce_plans = []
+            amb_pos = []
+            amb_tab = []
+            amb_slice = []
             for j in range(k):
                 T = tangent_sizes[j]
                 dummy = self.bd_groups.get(T, np.zeros((0, T))).shape[0]
                 pj = np.empty((B,), dtype=np.int32)
+                apj = np.empty((B,), dtype=np.int32)
                 for i, rb in enumerate(rbs):
                     pid = rb.param_ids[j]
                     if pblocks[pid].constant:
                         pj[i] = dummy
                     else:
                         pj[i] = self.bd_pos_of_pid[pid][1]
+                    apj[i] = self.amb_pos_of_pid[pid][1]
                 bd_pos.append(jnp.asarray(pj))
                 reduce_plans.append(_build_arg_plan(pj, dummy))
+                amb_pos.append(jnp.asarray(apj))
+                amb_tab.append(jnp.asarray(self.amb_groups[sizes[j]]))
+                amb_slice.append(self.amb_slice_of[sizes[j]])
 
             residual_size = self._infer_residual_size(fn, sizes, data)
             structure = FamilyStructure(
@@ -883,6 +939,9 @@ class Program:
                     residual_ids=np.asarray([rb.rid for rb in rbs]),
                     block_ids=np.asarray([rb.param_ids for rb in rbs]),
                     bd_pos=tuple(bd_pos),
+                    amb_pos=tuple(amb_pos),
+                    amb_tab=tuple(amb_tab),
+                    amb_slice=tuple(amb_slice),
                     reduce_plans=tuple(reduce_plans),
                 )
             )
@@ -918,6 +977,10 @@ class Program:
                 for s, m in zip(sizes, manifolds)
             )
             amb_idx, tan_idx, bd_pos, reduce_plans = [], [], [], []
+            amb_pos, amb_tab, amb_slice = [], [], []
+            amb_row = np.zeros(n_pid, dtype=np.int64)
+            for rec in self.blocks:
+                amb_row[rec.pid] = self.amb_pos_of_pid[rec.pid][1]
             for j in range(k):
                 col = cols[:, j]
                 aj = amb_off[col][:, None] + np.arange(sizes[j], dtype=np.int64)
@@ -934,6 +997,9 @@ class Program:
                 tan_idx.append(jnp.asarray(tj.astype(np.int32)))
                 bd_pos.append(jnp.asarray(pj.astype(np.int32)))
                 reduce_plans.append(_build_arg_plan(pj, dummy))
+                amb_pos.append(jnp.asarray(amb_row[col].astype(np.int32)))
+                amb_tab.append(jnp.asarray(self.amb_groups[sizes[j]]))
+                amb_slice.append(self.amb_slice_of[sizes[j]])
 
             if batch.data is None:
                 data = None
@@ -965,6 +1031,9 @@ class Program:
                     residual_ids=batch.rid_base + np.nonzero(keep)[0],
                     block_ids=cols,
                     bd_pos=tuple(bd_pos),
+                    amb_pos=tuple(amb_pos),
+                    amb_tab=tuple(amb_tab),
+                    amb_slice=tuple(amb_slice),
                     reduce_plans=tuple(reduce_plans),
                 )
             )
