@@ -266,8 +266,12 @@ def build_schur_structure(
     # Scatter-free reduction plans (one-hot matmul / ELL gather+sum).
     from ceres_tpu.ops.reduce import build_reduce_plan
 
+    # Pallas sorted-segment plans only single-device (not partitionable).
+    _pallas_ok = getattr(program, "mesh", None) is None
     e_plan = tuple(
-        build_reduce_plan(np.asarray(ep), P) if ep is not None else None
+        build_reduce_plan(np.asarray(ep), P, allow_pallas=_pallas_ok)
+        if ep is not None
+        else None
         for ep in e_pos
     )
     f_plan = []
@@ -281,7 +285,9 @@ def build_schur_structure(
                 T = fam.structure.tangent_sizes[j]
                 plans.append(
                     build_reduce_plan(
-                        np.asarray(fp), f_group_sizes.get(T, 0)
+                        np.asarray(fp),
+                        f_group_sizes.get(T, 0),
+                        allow_pallas=_pallas_ok,
                     )
                 )
         f_plan.append(tuple(plans))

@@ -52,12 +52,18 @@ class ReducePlan:
     ell: Optional[jax.Array] = None
     # scatter fallback: (B,) int32 segment ids (dummy = G).
     seg: Optional[jax.Array] = None
+    # sorted (Pallas block-CSR kernel, ops/pallas_segment.py):
+    # (num_tiles, 1, TILE_B) local ids + (num_tiles, 1) window starts.
+    seg_tiles: Optional[jax.Array] = None
+    starts: Optional[jax.Array] = None
+    maxp: int = 0
+    tile_b: int = 0
 
 
 jax.tree_util.register_dataclass(
     ReducePlan,
-    data_fields=["onehot", "ell", "seg"],
-    meta_fields=["kind", "num_groups"],
+    data_fields=["onehot", "ell", "seg", "seg_tiles", "starts"],
+    meta_fields=["kind", "num_groups", "maxp", "tile_b"],
 )
 
 
@@ -65,11 +71,19 @@ def build_reduce_plan(
     seg_ids: np.ndarray,
     num_groups: int,
     onehot_max_groups: int = ONEHOT_MAX_GROUPS,
+    allow_pallas: bool = True,
 ) -> ReducePlan:
     """Build a plan for reducing B rows into ``num_groups`` groups.
 
     ``seg_ids`` is (B,) int; ids outside [0, num_groups) go to the dummy
     group (dropped by convention — callers slice ``[:G]``).
+
+    When the ids are SORTED (the builders order observations by their
+    e-block, reorder_program.cc analog), many groups exist, and the
+    program runs single-device on TPU, the plan uses the Pallas
+    block-CSR kernel (ops/pallas_segment.py) — 3-10x faster than the
+    ELL gather. ``allow_pallas=False`` (mesh-sharded programs: the
+    kernel is not GSPMD-partitionable) falls back to ELL.
     """
     seg = np.asarray(seg_ids, dtype=np.int64).reshape(-1)
     B = seg.shape[0]
@@ -82,6 +96,27 @@ def build_reduce_plan(
         return ReducePlan(
             kind="onehot", num_groups=G, onehot=jnp.asarray(onehot)
         )
+
+    if (
+        allow_pallas
+        and jax.default_backend() == "tpu"
+        and B >= 4096
+        and np.all(seg[1:] >= seg[:-1])
+    ):
+        from ceres_tpu.ops.pallas_segment import TILE_B, build_sorted_plan
+
+        local, starts, maxp, _ = build_sorted_plan(seg, G)
+        # Degenerate sortedness (one tile spanning most groups) loses
+        # the window locality — only worth it when windows are narrow.
+        if maxp <= 4 * TILE_B:
+            return ReducePlan(
+                kind="sorted",
+                num_groups=G,
+                seg_tiles=jnp.asarray(local),
+                starts=jnp.asarray(starts),
+                maxp=maxp,
+                tile_b=TILE_B,
+            )
 
     counts = np.bincount(seg, minlength=G + 1)
     kmax = int(counts[:G].max()) if G > 0 else 0
@@ -120,6 +155,17 @@ def apply_reduce(plan: ReducePlan, contrib: jax.Array) -> jax.Array:
             preferred_element_type=flat.dtype,
         )
         return out.reshape((G + 1,) + tail)
+    if plan.kind == "sorted":
+        from ceres_tpu.ops.pallas_segment import segment_sum_sorted
+
+        return segment_sum_sorted(
+            contrib,
+            plan.seg_tiles,
+            plan.starts,
+            G,
+            plan.maxp,
+            plan.tile_b,
+        )
     if plan.kind == "ell":
         pad = jnp.zeros((1,) + tail, dtype=contrib.dtype)
         cp = jnp.concatenate([contrib, pad], axis=0)

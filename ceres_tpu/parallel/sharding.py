@@ -107,7 +107,7 @@ def _family_float_dtype(fam: Family, dtype=None):
     return jnp.dtype(jnp.float64)
 
 
-def pad_family(fam: Family, multiple: int, dtype=None) -> Family:
+def pad_family(fam: Family, multiple: int, dtype=None, allow_pallas: bool = True) -> Family:
     """Pad a family's batch to a multiple; padded rows carry mask 0."""
     B = fam.batch
     Bp = int(math.ceil(B / multiple) * multiple)
@@ -139,7 +139,9 @@ def pad_family(fam: Family, multiple: int, dtype=None) -> Family:
         from ceres_tpu.ops.reduce import build_reduce_plan
 
         reduce_plans = tuple(
-            build_reduce_plan(np.asarray(b), p.num_groups)
+            build_reduce_plan(
+                np.asarray(b), p.num_groups, allow_pallas=allow_pallas
+            )
             if p is not None
             else None
             for b, p in zip(bd_pos, fam.reduce_plans)
@@ -287,8 +289,14 @@ def shard_program(
         n *= mesh.shape[a]
     batch_axes = tuple(axes) if len(axes) > 1 else axis_name
     dt = getattr(program, "eval_dtype", None)
+    # The Pallas sorted-segment kernel is not GSPMD-partitionable;
+    # mesh-sharded programs rebuild their reduction plans without it.
     program.families = [
-        _shard_family(pad_family(f, n, dtype=dt), mesh, batch_axes)
+        _shard_family(
+            pad_family(f, n, dtype=dt, allow_pallas=False),
+            mesh,
+            batch_axes,
+        )
         for f in program.families
     ]
     program.mesh = mesh

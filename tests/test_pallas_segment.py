@@ -1,0 +1,114 @@
+"""Pallas sorted-segment block-reduction kernel (ops/pallas_segment.py).
+
+Runs in interpreter mode on CPU; on TPU the same code path is what
+build_reduce_plan selects for sorted batches (kind="sorted").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ceres_tpu.ops.pallas_segment import (
+    build_sorted_plan,
+    segment_sum_sorted,
+)
+from ceres_tpu.ops import reduce as red
+
+
+def _reference(seg, contrib, G):
+    out = np.zeros((G + 1,) + contrib.shape[1:], np.float64)
+    np.add.at(out, np.minimum(seg, G), contrib.astype(np.float64))
+    return out.astype(contrib.dtype)
+
+
+@pytest.mark.parametrize("B,G,d", [(5000, 1300, 9), (2048, 64, 3), (4096, 4000, 24)])
+def test_kernel_matches_numpy(B, G, d):
+    rng = np.random.default_rng(B + G + d)
+    seg = np.sort(rng.integers(0, G, B))
+    contrib = rng.standard_normal((B, d)).astype(np.float32)
+    local, starts, maxp, Bp = build_sorted_plan(seg, G, tile_b=512)
+    out = np.asarray(
+        segment_sum_sorted(
+            jnp.asarray(contrib),
+            jnp.asarray(local),
+            jnp.asarray(starts),
+            G,
+            maxp,
+            tile_b=512,
+            interpret=True,
+        )
+    )
+    expect = _reference(seg, contrib, G)
+    np.testing.assert_allclose(out[:G], expect[:G], atol=1e-4)
+
+
+def test_kernel_multidim_tail():
+    rng = np.random.default_rng(0)
+    B, G = 3000, 700
+    seg = np.sort(rng.integers(0, G, B))
+    contrib = rng.standard_normal((B, 3, 3)).astype(np.float32)
+    local, starts, maxp, Bp = build_sorted_plan(seg, G, tile_b=512)
+    out = np.asarray(
+        segment_sum_sorted(
+            jnp.asarray(contrib),
+            jnp.asarray(local),
+            jnp.asarray(starts),
+            G,
+            maxp,
+            tile_b=512,
+            interpret=True,
+        )
+    )
+    expect = _reference(seg, contrib.reshape(B, -1), G).reshape(G + 1, 3, 3)
+    np.testing.assert_allclose(out[:G], expect[:G], atol=1e-4)
+
+
+def test_unsorted_never_selects_pallas():
+    rng = np.random.default_rng(1)
+    seg = rng.integers(0, 5000, 8192)  # unsorted
+    plan = red.build_reduce_plan(seg, 5000)
+    assert plan.kind != "sorted"
+
+
+def test_allow_pallas_false_falls_back():
+    seg = np.sort(np.random.default_rng(2).integers(0, 5000, 8192))
+    plan = red.build_reduce_plan(seg, 5000, allow_pallas=False)
+    assert plan.kind in ("ell", "scatter")
+
+
+def test_sorted_selected_on_tpu(monkeypatch):
+    seg = np.sort(np.random.default_rng(3).integers(0, 5000, 8192))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan = red.build_reduce_plan(seg, 5000)
+    assert plan.kind == "sorted"
+    assert plan.seg_tiles is not None and plan.starts is not None
+
+
+def test_sorted_plan_apply_reduce_interpret(monkeypatch):
+    """apply_reduce through a sorted plan (interpret mode) equals the
+    ELL plan's result."""
+    rng = np.random.default_rng(4)
+    B, G, d = 8192, 3000, 6
+    seg = np.sort(rng.integers(0, G, B))
+    contrib = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    plan_sorted = red.build_reduce_plan(seg, G)
+    assert plan_sorted.kind == "sorted"
+    plan_ell = red.build_reduce_plan(seg, G, allow_pallas=False)
+
+    from ceres_tpu.ops import pallas_segment as ps
+
+    out_sorted = np.asarray(
+        ps.segment_sum_sorted(
+            contrib,
+            plan_sorted.seg_tiles,
+            plan_sorted.starts,
+            G,
+            plan_sorted.maxp,
+            plan_sorted.tile_b,
+            interpret=True,
+        )
+    )
+    out_ell = np.asarray(red.apply_reduce(plan_ell, contrib))
+    np.testing.assert_allclose(out_sorted[:G], out_ell[:G], atol=1e-4)
