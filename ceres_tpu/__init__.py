@@ -57,6 +57,7 @@ from ceres_tpu.loss import (  # noqa: E402
     TukeyLoss,
     ScaledLoss,
     ComposedLoss,
+    LossFunctionWrapper,
 )
 from ceres_tpu.manifold import (  # noqa: E402
     EuclideanManifold,
@@ -137,6 +138,7 @@ __all__ = [
     "TukeyLoss",
     "ScaledLoss",
     "ComposedLoss",
+    "LossFunctionWrapper",
     "EuclideanManifold",
     "SubsetManifold",
     "QuaternionManifold",

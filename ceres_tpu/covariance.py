@@ -124,6 +124,11 @@ class Covariance:
             return True
 
         # SPARSE_QR analog: QR of J, covariance = R^-1 R^-T.
+        if J.shape[0] < J.shape[1]:
+            # Underdetermined: J'J is singular; SuiteSparseQR reports
+            # rank deficiency and the reference fails the computation
+            # (covariance_impl.cc:536-580).
+            return False
         R = np.linalg.qr(J, mode="r")
         diag = np.abs(np.diag(R))
         if diag.size == 0 or np.min(diag) == 0.0:
