@@ -89,7 +89,10 @@ from ceres_tpu.interpolation import (  # noqa: E402
     Grid2D,
 )
 from ceres_tpu import cost_functions  # noqa: E402
-from ceres_tpu.cost_functions import EvaluationCallback  # noqa: E402
+from ceres_tpu.cost_functions import (  # noqa: E402
+    EvaluationCallback,
+    analytic_cost,
+)
 from ceres_tpu.fused_lm import fused_solve  # noqa: E402
 from ceres_tpu.ordered_groups import OrderedGroups  # noqa: E402
 
@@ -116,6 +119,7 @@ __all__ = [
     "Grid2D",
     "cost_functions",
     "EvaluationCallback",
+    "analytic_cost",
     "fused_solve",
     "loss",
     "manifold",

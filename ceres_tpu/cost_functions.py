@@ -94,6 +94,48 @@ def to_functor(fn: Callable) -> Callable:
     return fn
 
 
+def analytic_cost(residual_fn: Callable, jacobian_fn: Callable) -> Callable:
+    """User-supplied analytic Jacobians (SizedCostFunction::Evaluate,
+    include/ceres/sized_cost_function.h + examples/helloworld_analytic_diff.cc).
+
+    The TPU-native formulation: attach the hand-written Jacobian as a
+    ``jax.custom_jvp`` rule, so the evaluator's fused ``vmap(jacfwd)``
+    pipeline consumes it transparently — same batching, same manifold
+    chain rule, no separate evaluation path.
+
+    ``jacobian_fn(*args)`` must return one Jacobian per argument, each of
+    shape ``(num_residuals, arg.size)`` (or ``None`` to treat that
+    argument as constant data with zero derivative — the analog of a
+    NULL jacobians[i] pointer in the reference's Evaluate contract).
+    """
+
+    @jax.custom_jvp
+    def fn(*args):
+        return residual_fn(*args)
+
+    @fn.defjvp
+    def _jvp(primals, tangents):
+        r = residual_fn(*primals)
+        jacs = jacobian_fn(*primals)
+        if not isinstance(jacs, (tuple, list)):
+            jacs = (jacs,)
+        if len(jacs) != len(primals):
+            raise ValueError(
+                f"jacobian_fn returned {len(jacs)} Jacobians for "
+                f"{len(primals)} arguments"
+            )
+        out_t = jnp.zeros_like(r)
+        for J, t in zip(jacs, tangents):
+            if J is None:
+                continue
+            J = jnp.asarray(J)
+            t = jnp.ravel(jnp.asarray(t))
+            out_t = out_t + jnp.reshape(J @ t, r.shape)
+        return r, out_t
+
+    return fn
+
+
 class EvaluationCallback:
     """Analog of ceres::EvaluationCallback (evaluation_callback.h:63):
     ``prepare_for_evaluation(new_evaluation_point, evaluate_jacobians)``

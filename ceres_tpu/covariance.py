@@ -39,6 +39,12 @@ class CovarianceOptions:
     null_space_rank: int = 0
     apply_loss_function: bool = True
 
+    def __post_init__(self):
+        if isinstance(self.algorithm_type, str):
+            self.algorithm_type = CovarianceAlgorithmType.from_string(
+                self.algorithm_type
+            )
+
 
 class Covariance:
     """Analog of ceres::Covariance (covariance.h)."""

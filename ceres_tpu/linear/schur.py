@@ -196,20 +196,39 @@ def build_schur_structure(
     f_group_sizes = {T: len(rows) for T, rows in f_rows.items()}
 
     const_set = {rec.pid for rec in program.blocks if rec.constant}
+    # pid -> flag/index lookup tables so the per-observation scans below
+    # are vectorized numpy gathers, not Python loops over 10^5 elements
+    # (and never touch the device: structure building is host-only).
+    max_pid = max(rec.pid for rec in program.blocks)
+    in_e_lut = np.zeros(max_pid + 2, dtype=bool)
+    in_e_lut[np.fromiter(e_set, dtype=np.int64)] = True
+    const_lut = np.zeros(max_pid + 2, dtype=bool)
+    if const_set:
+        const_lut[np.fromiter(const_set, dtype=np.int64)] = True
+    pt_idx_lut = np.full(max_pid + 2, P, dtype=np.int32)
+    for pid, i in point_index.items():
+        pt_idx_lut[pid] = i
+    fpos_lut = {
+        T: np.full(max_pid + 2, n, dtype=np.int32)
+        for T, n in f_group_sizes.items()
+    }
+    for pid, (T, row) in f_pos_of_pid.items():
+        fpos_lut[T][pid] = row
+
     e_arg: List[int] = []
-    e_pos: List[Optional[jax.Array]] = []
-    f_pos: List[Tuple[Optional[jax.Array], ...]] = []
+    e_pos: List[Optional[np.ndarray]] = []
+    f_pos: List[Tuple[Optional[np.ndarray], ...]] = []
     for fam in program.families:
+        bids = np.asarray(fam.block_ids)
         ea = -1
         ep = None
-        for j in range(fam.block_ids.shape[1]):
-            col = fam.block_ids[:, j]
-            in_e = np.asarray([int(p) in e_set for p in col])
-            is_const = np.asarray([int(p) in const_set for p in col])
+        for j in range(bids.shape[1]):
+            col = bids[:, j]
+            in_e = in_e_lut[col]
             if in_e.any():
                 # Constant blocks are variable-free: they may share an
                 # e-column (their contributions drop at the dummy index).
-                if not np.all(in_e | is_const):
+                if not np.all(in_e | const_lut[col]):
                     raise ValueError(
                         "mixed e/f blocks in one family argument position; "
                         "regroup the problem or provide an explicit ordering"
@@ -220,33 +239,24 @@ def build_schur_structure(
                         "elimination ordering (schur_eliminator.h:143)"
                     )
                 ea = j
-                ep = jnp.asarray(
-                    np.asarray(
-                        [point_index.get(int(p), P) for p in col],
-                        dtype=np.int32,
-                    )
-                )
+                ep = pt_idx_lut[col]
         e_arg.append(ea)
         e_pos.append(ep)
 
-        fp: List[Optional[jax.Array]] = []
-        for j in range(fam.block_ids.shape[1]):
+        fp: List[Optional[np.ndarray]] = []
+        for j in range(bids.shape[1]):
             if j == ea:
                 fp.append(None)
                 continue
-            col = fam.block_ids[:, j]
+            col = bids[:, j]
             T = fam.structure.tangent_sizes[j]
             dummy = f_group_sizes.get(T, 0)
-            pos = np.asarray(
-                [
-                    f_pos_of_pid.get(int(p), (T, dummy))[1]
-                    if int(p) in f_pos_of_pid
-                    else dummy
-                    for p in col
-                ],
-                dtype=np.int32,
-            )
-            fp.append(jnp.asarray(pos))
+            lut = fpos_lut.get(T)
+            if lut is None:
+                pos = np.full(col.shape[0], dummy, dtype=np.int32)
+            else:
+                pos = lut[col]
+            fp.append(pos)
         f_pos.append(tuple(fp))
 
     cluster_groups = None
@@ -299,15 +309,27 @@ def build_schur_structure(
         f_mask=jnp.asarray(f_mask),
         f_idx=jnp.asarray(f_idx),
         e_arg=tuple(e_arg),
-        e_pos=tuple(e_pos),
+        # one-way host->device: pytree leaves must be device arrays (a
+        # numpy leaf would re-transfer on every jitted call).
+        e_pos=tuple(
+            jnp.asarray(ep) if ep is not None else None for ep in e_pos
+        ),
         f_groups=f_groups,
-        f_pos=tuple(f_pos),
+        f_pos=tuple(
+            tuple(jnp.asarray(p) if p is not None else None for p in fp)
+            for fp in f_pos
+        ),
         cluster_groups=cluster_groups,
         chain_clusters=chain_clusters,
         e_plan=e_plan,
         f_plan=tuple(f_plan),
         point_sharding=_point_sharding_of(program),
     )
+    # Host-side numpy copies for plan builders (schur_explicit,
+    # covariance): plain attributes, not pytree fields — they never cross
+    # into jit and avoid device->host round trips over slow links.
+    ss._host_e_pos = tuple(e_pos)
+    ss._host_f_pos = tuple(f_pos)
     if with_explicit:
         from ceres_tpu.linear.schur_explicit import build_explicit_plan
 

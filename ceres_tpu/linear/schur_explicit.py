@@ -109,6 +109,16 @@ jax.tree_util.register_dataclass(
 )
 
 
+
+def _host_pos(ss, fi, j=None):
+    """Host numpy copy of ss.e_pos[fi] (j=None) / ss.f_pos[fi][j] without a
+    device->host transfer when build_schur_structure stashed one."""
+    if j is None:
+        h = getattr(ss, "_host_e_pos", None)
+        return h[fi] if h is not None else np.asarray(ss.e_pos[fi])
+    h = getattr(ss, "_host_f_pos", None)
+    return h[fi][j] if h is not None else np.asarray(ss.f_pos[fi][j])
+
 def _cells_from_pairs(keys, rows_of, cols_of, T1, T2):
     """keys: list of (p1, p2) cell keys per item; returns (cell_ids,
     ordered unique cells, rows, cols matrices)."""
@@ -160,8 +170,8 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
             for j2 in f_args[a_i:]:
                 T1 = fam.structure.tangent_sizes[j1]
                 T2 = fam.structure.tangent_sizes[j2]
-                p1 = np.asarray(ss.f_pos[fi][j1])
-                p2 = np.asarray(ss.f_pos[fi][j2])
+                p1 = _host_pos(ss, fi, j1)
+                p2 = _host_pos(ss, fi, j2)
                 G1 = f_groups.get(T1, np.zeros((0, T1))).shape[0]
                 G2 = f_groups.get(T2, np.zeros((0, T2))).shape[0]
                 valid = (p1 < G1) & (p2 < G2)
@@ -263,7 +273,7 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
         ea = ss.e_arg[fi]
         if ea < 0:
             continue
-        epos = np.asarray(ss.e_pos[fi])
+        epos = _host_pos(ss, fi)
         mask = (
             np.asarray(fam.mask) > 0
             if fam.mask is not None
@@ -274,7 +284,7 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 continue
             T = fam.structure.tangent_sizes[j]
             G = f_groups.get(T, np.zeros((0, T))).shape[0]
-            fpos = np.asarray(ss.f_pos[fi][j])
+            fpos = _host_pos(ss, fi, j)
             off = slot_offset[(fi, j)]
             ok = mask & (epos < P) & (fpos < G)
             starts = np.full(fam.batch, -1, dtype=np.int64)

@@ -69,6 +69,8 @@ def numeric_diff(
     (numeric_diff.h:130-139) generalized to directions.
     """
     opts = options or NumericDiffOptions()
+    if isinstance(method, str):
+        method = NumericDiffMethodType.from_string(method)
 
     @jax.custom_jvp
     def wrapped(*args):
@@ -172,3 +174,20 @@ def numeric_diff_jacobian(
     (gradient_checker.h:66)."""
     nd = numeric_diff(fn, method, options)
     return jax.jacfwd(nd)(x)
+
+
+def numeric_diff_gradient(
+    fn: Callable,
+    method: NumericDiffMethodType = NumericDiffMethodType.CENTRAL,
+    options: NumericDiffOptions | None = None,
+) -> Callable:
+    """Finite-difference gradient of a scalar function — the analog of
+    NumericDiffFirstOrderFunction (numeric_diff_first_order_function.h).
+
+    Forward-mode over the finite-difference JVP rule (one directional
+    difference per coordinate, like the reference's per-parameter loop).
+    Reverse-mode cannot be used: the FD JVP is nonlinear in its tangent,
+    so it has no transpose. Pass the result as ``GradientProblem``'s
+    ``gradient_fn``."""
+    nd = numeric_diff(fn, method, options)
+    return jax.jacfwd(nd)

@@ -12,6 +12,11 @@ sys.path.insert(0, "/root/repo")
 
 FAST_EXAMPLES = [
     ("helloworld", []),
+    ("helloworld_analytic_diff", []),
+    ("helloworld_numeric_diff", []),
+    ("rosenbrock_analytic_diff", []),
+    ("rosenbrock_numeric_diff", []),
+    ("bicubic_interpolation_analytic", []),
     ("powell", []),
     ("curve_fitting", []),
     ("robust_curve_fitting", []),
