@@ -115,6 +115,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         p_i32,
     ]
     lib.max_weight_linear_forest.restype = i64
+    lib.mindeg_order.argtypes = [i64, p_i64, p_i32, p_i32]
+    lib.mindeg_order.restype = ctypes.c_int
+    lib.sparse_chol_analyze.argtypes = [i64, p_i64, p_i32, p_i32, p_i32, p_i64]
+    lib.sparse_chol_analyze.restype = i64
+    lib.sparse_chol_factorize.argtypes = [
+        i64, p_i64, p_i32, p_f64, p_i32, p_i64, p_i32, p_f64,
+    ]
+    lib.sparse_chol_factorize.restype = i64
+    lib.sparse_chol_solve.argtypes = [
+        i64, p_i64, p_i32, p_f64, p_i32, i64, p_f64, p_f64,
+    ]
+    lib.sparse_chol_solve.restype = ctypes.c_int
     _lib = lib
     return _lib
 

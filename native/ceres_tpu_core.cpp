@@ -454,4 +454,285 @@ int64_t max_weight_linear_forest(int64_t num_clusters, int64_t num_points,
   return nedges;
 }
 
+// ---------------------------------------------------------------------------
+// Simplicial sparse Cholesky with minimum-degree ordering.
+//
+// TPU-native counterpart of the reference's sparse direct stack
+// (internal/ceres/sparse_cholesky.h:71-112 factor-once/refactor-many
+// interface, suitesparse.h:306 CHOLMOD wrapper, and the AMD fill-reducing
+// ordering in reorder_program.cc). This runs on the host: symbolic
+// analysis once per sparsity pattern, numeric refactorization per LM
+// iteration, invoked from the XLA graph via jax.pure_callback. The
+// factorization is an up-looking row LL^T driven by the elimination
+// tree; the ordering is greedy minimum degree on the quotient graph.
+//
+// Matrix format: upper-triangular CSC (column j holds sorted rows
+// i <= j, diagonal present), 64-bit column pointers, 32-bit row indices.
+// ---------------------------------------------------------------------------
+
+// Greedy minimum-degree ordering. A is the upper-triangular pattern;
+// writes perm (perm[k] = original index eliminated k-th). Returns 0.
+int mindeg_order(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                 int32_t* perm) {
+  // Symmetrize into per-node adjacency lists.
+  std::vector<std::vector<int32_t>> adj(n);
+  for (int64_t j = 0; j < n; ++j) {
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      int32_t i = Ai[p];
+      if (i == j) continue;
+      adj[i].push_back((int32_t)j);
+      adj[j].push_back(i);
+    }
+  }
+  std::vector<char> eliminated(n, 0);
+  std::vector<int32_t> stamp(n, -1);  // dedup scratch
+  // Degree buckets for O(1) min extraction with lazy degree updates.
+  std::vector<int64_t> degree(n);
+  for (int64_t v = 0; v < n; ++v) {
+    std::sort(adj[v].begin(), adj[v].end());
+    adj[v].erase(std::unique(adj[v].begin(), adj[v].end()), adj[v].end());
+    degree[v] = (int64_t)adj[v].size();
+  }
+  // Simple lazy heap: (degree, node); stale entries skipped on pop.
+  typedef std::pair<int64_t, int32_t> DN;
+  std::vector<DN> heap;
+  heap.reserve(n);
+  for (int64_t v = 0; v < n; ++v) heap.push_back({degree[v], (int32_t)v});
+  std::make_heap(heap.begin(), heap.end(), std::greater<DN>());
+  std::vector<int32_t> nbrs;
+  for (int64_t k = 0; k < n; ++k) {
+    int32_t v = -1;
+    while (!heap.empty()) {
+      DN top = heap.front();
+      std::pop_heap(heap.begin(), heap.end(), std::greater<DN>());
+      heap.pop_back();
+      if (!eliminated[top.second] && degree[top.second] == top.first) {
+        v = top.second;
+        break;
+      }
+    }
+    if (v < 0) {  // all remaining entries stale: pick any live node
+      for (int64_t u = 0; u < n; ++u)
+        if (!eliminated[u]) { v = (int32_t)u; break; }
+    }
+    perm[k] = v;
+    eliminated[v] = 1;
+    // Live neighbors of v form a clique in the elimination graph.
+    nbrs.clear();
+    for (int32_t u : adj[v])
+      if (!eliminated[u]) nbrs.push_back(u);
+    for (int32_t u : nbrs) {
+      // Merge clique into u's list, drop eliminated nodes, dedup.
+      std::vector<int32_t>& au = adj[u];
+      int64_t w = 0;
+      for (int64_t r = 0; r < (int64_t)au.size(); ++r)
+        if (!eliminated[au[r]]) au[w++] = au[r];
+      au.resize(w);
+      for (int32_t t : au) stamp[t] = u;
+      stamp[u] = u;
+      for (int32_t t : nbrs)
+        if (stamp[t] != u) { au.push_back(t); stamp[t] = u; }
+      degree[u] = (int64_t)au.size();
+      heap.push_back({degree[u], u});
+      std::push_heap(heap.begin(), heap.end(), std::greater<DN>());
+    }
+    adj[v].clear();
+    adj[v].shrink_to_fit();
+  }
+  return 0;
+}
+
+// Internal: build the permuted upper pattern B = P A P' (upper CSC,
+// sorted rows). iperm[old] = new.
+static void permute_upper(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                          const int32_t* perm, std::vector<int64_t>& Bp,
+                          std::vector<int32_t>& Bi,
+                          std::vector<int64_t>& Bsrc) {
+  std::vector<int32_t> iperm(n);
+  for (int64_t k = 0; k < n; ++k) iperm[perm[k]] = (int32_t)k;
+  std::vector<int64_t> count(n + 1, 0);
+  for (int64_t j = 0; j < n; ++j) {
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      int32_t i = Ai[p];
+      int32_t nj = iperm[j], ni = iperm[i];
+      int32_t cj = std::max(ni, nj);
+      count[cj + 1]++;
+    }
+  }
+  Bp.assign(n + 1, 0);
+  for (int64_t j = 0; j < n; ++j) Bp[j + 1] = Bp[j] + count[j + 1];
+  std::vector<int64_t> next(Bp.begin(), Bp.end() - 1);
+  int64_t nnz = Bp[n];
+  Bi.resize(nnz);
+  Bsrc.resize(nnz);
+  for (int64_t j = 0; j < n; ++j) {
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      int32_t i = Ai[p];
+      int32_t nj = iperm[j], ni = iperm[i];
+      int32_t cj = std::max(ni, nj), ci = std::min(ni, nj);
+      int64_t q = next[cj]++;
+      Bi[q] = ci;
+      Bsrc[q] = p;
+    }
+  }
+  // Sort rows within each column (tracking source positions).
+  std::vector<std::pair<int32_t, int64_t>> tmp;
+  for (int64_t j = 0; j < n; ++j) {
+    tmp.clear();
+    for (int64_t p = Bp[j]; p < Bp[j + 1]; ++p) tmp.push_back({Bi[p], Bsrc[p]});
+    std::sort(tmp.begin(), tmp.end());
+    for (int64_t t = 0; t < (int64_t)tmp.size(); ++t) {
+      Bi[Bp[j] + t] = tmp[t].first;
+      Bsrc[Bp[j] + t] = tmp[t].second;
+    }
+  }
+}
+
+// Internal: elimination tree of the permuted upper pattern, plus the
+// row-subtree reach used for both column counts and numeric rows.
+static void etree_of(int64_t n, const std::vector<int64_t>& Bp,
+                     const std::vector<int32_t>& Bi,
+                     std::vector<int32_t>& parent) {
+  parent.assign(n, -1);
+  std::vector<int32_t> ancestor(n, -1);
+  for (int64_t k = 0; k < n; ++k) {
+    for (int64_t p = Bp[k]; p < Bp[k + 1]; ++p) {
+      int32_t i = Bi[p];
+      while (i != -1 && i < k) {
+        int32_t next_i = ancestor[i];
+        ancestor[i] = (int32_t)k;
+        if (next_i == -1) parent[i] = (int32_t)k;
+        i = next_i;
+      }
+    }
+  }
+}
+
+// Internal: nodes of row k's subtree reach in topological (ascending)
+// order; returns count, fills reach[0..count).
+static int64_t row_reach(int64_t k, const std::vector<int64_t>& Bp,
+                         const std::vector<int32_t>& Bi,
+                         const std::vector<int32_t>& parent,
+                         std::vector<int32_t>& mark,
+                         std::vector<int32_t>& stack,
+                         std::vector<int32_t>& reach) {
+  int64_t top = 0, nreach = 0;
+  mark[k] = (int32_t)k;
+  for (int64_t p = Bp[k]; p < Bp[k + 1]; ++p) {
+    int32_t i = Bi[p];
+    if (i >= k) continue;
+    int64_t len = 0;
+    while (mark[i] != (int32_t)k) {
+      stack[len++] = i;
+      mark[i] = (int32_t)k;
+      i = parent[i];
+    }
+    // stack holds a root-ward path; emit it reversed so the combined
+    // reach list stays topologically ordered per path.
+    while (len > 0) reach[nreach++] = stack[--len];
+  }
+  // Paths from different entries interleave; a final sort gives the
+  // ascending elimination order the up-looking update needs.
+  std::sort(reach.begin(), reach.begin() + nreach);
+  return nreach;
+}
+
+// Symbolic analysis: ordering is caller-provided in perm (use
+// mindeg_order or identity). Computes the elimination tree (parent) and
+// the column pointers Lp of L (lower CSC, diagonal first per column).
+// Returns nnz(L) on success, -1 on error.
+int64_t sparse_chol_analyze(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                            const int32_t* perm, int32_t* parent,
+                            int64_t* Lp) {
+  std::vector<int64_t> Bp;
+  std::vector<int32_t> Bi;
+  std::vector<int64_t> Bsrc;
+  permute_upper(n, Ap, Ai, perm, Bp, Bi, Bsrc);
+  std::vector<int32_t> par;
+  etree_of(n, Bp, Bi, par);
+  std::vector<int64_t> colcount(n, 1);  // diagonal
+  std::vector<int32_t> mark(n, -1), stack(n), reach(n);
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t nr = row_reach(k, Bp, Bi, par, mark, stack, reach);
+    for (int64_t t = 0; t < nr; ++t) colcount[reach[t]]++;
+  }
+  Lp[0] = 0;
+  for (int64_t j = 0; j < n; ++j) Lp[j + 1] = Lp[j] + colcount[j];
+  for (int64_t j = 0; j < n; ++j) parent[j] = par[j];
+  return Lp[n];
+}
+
+// Numeric factorization (up-looking row LL^T). Caller allocates
+// Li/Lx of size nnz(L) from analyze. Values Ax correspond to the
+// ORIGINAL (unpermuted) pattern handed to analyze. Returns 0 on
+// success, k+1 if the pivot at permuted column k is not positive
+// (matrix not positive definite — LinearSolverTerminationType FAILURE).
+int64_t sparse_chol_factorize(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                              const double* Ax, const int32_t* perm,
+                              const int64_t* Lp, int32_t* Li, double* Lx) {
+  std::vector<int64_t> Bp;
+  std::vector<int32_t> Bi;
+  std::vector<int64_t> Bsrc;
+  permute_upper(n, Ap, Ai, perm, Bp, Bi, Bsrc);
+  std::vector<int32_t> parent;
+  etree_of(n, Bp, Bi, parent);
+  std::vector<int32_t> mark(n, -1), stack(n), reach(n);
+  std::vector<double> x(n, 0.0);
+  std::vector<int64_t> lnext(n);  // next free slot per column of L
+  for (int64_t j = 0; j < n; ++j) lnext[j] = Lp[j] + 1;  // slot 0 = diag
+  for (int64_t k = 0; k < n; ++k) {
+    // Scatter row k of B (upper column k) into x; diagonal into d.
+    double d = 0.0;
+    int64_t nr = row_reach(k, Bp, Bi, parent, mark, stack, reach);
+    for (int64_t p = Bp[k]; p < Bp[k + 1]; ++p) {
+      int32_t i = Bi[p];
+      double v = Ax[Bsrc[p]];
+      if (i == k)
+        d = v;
+      else
+        x[i] = v;
+    }
+    // Up-looking triangular solve along the reach.
+    for (int64_t t = 0; t < nr; ++t) {
+      int32_t j = reach[t];
+      double lkj = x[j] / Lx[Lp[j]];  // divide by L(j,j)
+      x[j] = 0.0;
+      for (int64_t p = Lp[j] + 1; p < lnext[j]; ++p) x[Li[p]] -= Lx[p] * lkj;
+      d -= lkj * lkj;
+      int64_t q = lnext[j]++;
+      Li[q] = (int32_t)k;
+      Lx[q] = lkj;
+    }
+    if (!(d > 0.0)) return k + 1;
+    Li[Lp[k]] = (int32_t)k;
+    Lx[Lp[k]] = std::sqrt(d);
+  }
+  return 0;
+}
+
+// Solve A x = b given the factor of P A P': x = P' (L^-T (L^-1 (P b))).
+// B/X are (nrhs, n) row-major. Returns 0.
+int sparse_chol_solve(int64_t n, const int64_t* Lp, const int32_t* Li,
+                      const double* Lx, const int32_t* perm, int64_t nrhs,
+                      const double* B, double* X) {
+  std::vector<double> z(n);
+  for (int64_t r = 0; r < nrhs; ++r) {
+    const double* b = B + r * n;
+    double* xo = X + r * n;
+    for (int64_t k = 0; k < n; ++k) z[k] = b[perm[k]];
+    for (int64_t j = 0; j < n; ++j) {  // L z' = z
+      double zj = z[j] / Lx[Lp[j]];
+      z[j] = zj;
+      for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) z[Li[p]] -= Lx[p] * zj;
+    }
+    for (int64_t j = n - 1; j >= 0; --j) {  // L^T y = z'
+      double zj = z[j];
+      for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) zj -= Lx[p] * z[Li[p]];
+      z[j] = zj / Lx[Lp[j]];
+    }
+    for (int64_t k = 0; k < n; ++k) xo[perm[k]] = z[k];
+  }
+  return 0;
+}
+
 }  // extern "C"
