@@ -14,6 +14,16 @@ analyze-once/refactor-many split CHOLMOD gives the reference.
 SPARSE_NORMAL_CHOLESKY solves (J'J + D^2) y = rhs exactly;
 ``dynamic_sparsity`` (solver.h:365-383) drops numerically-zero entries
 and re-analyzes every iteration.
+
+Two execution modes, selected by backend capability:
+- host-driven (any backend, incl. the axon TPU PJRT backend, which does
+  NOT implement host callbacks): the trust-region loop calls
+  :func:`host_sparse_normal_solve` directly between jitted device
+  computations (``trust_region._make_sparse_lm_step_fn``);
+- in-graph (CPU backend only): :func:`solve_sparse_normal_cholesky`
+  embeds the host solve via ``jax.pure_callback`` so fully-jitted
+  callers (dogleg precompute, mixed-precision refinement) still get the
+  exact path.
 """
 
 from __future__ import annotations
@@ -54,6 +64,7 @@ class SparseCholesky:
         if lib is None:
             raise RuntimeError("native core unavailable")
         self._lib = lib
+        self._handle = None
         self.n = int(n)
         self.Ap = np.ascontiguousarray(Ap, dtype=np.int64)
         self.Ai = np.ascontiguousarray(Ai, dtype=np.int32)
@@ -68,25 +79,33 @@ class SparseCholesky:
             self.perm = np.arange(self.n, dtype=np.int32)
         self.parent = np.empty(self.n, dtype=np.int32)
         self.Lp = np.empty(self.n + 1, dtype=np.int64)
-        nnz = lib.sparse_chol_analyze(
+        # Opaque native handle: keeps the permuted pattern + etree so
+        # factorize() is numeric-only (cholmod_analyze/cholmod_factorize
+        # split of suitesparse.h:306).
+        self._handle = lib.sparse_chol_symbolic_new(
             self.n, _i64p(self.Ap), _i32p(self.Ai), _i32p(self.perm),
             _i32p(self.parent), _i64p(self.Lp),
         )
-        if nnz < 0:
-            raise RuntimeError("sparse_chol_analyze failed")
-        self.nnz_L = int(nnz)
+        if not self._handle:
+            raise RuntimeError("sparse_chol_symbolic_new failed")
+        self.nnz_L = int(lib.sparse_chol_symbolic_nnz(self._handle))
         self.Li = np.empty(self.nnz_L, dtype=np.int32)
         self.Lx = np.empty(self.nnz_L, dtype=np.float64)
         self._factorized = False
 
+    def __del__(self):
+        h = getattr(self, "_handle", None)
+        if h:
+            self._lib.sparse_chol_symbolic_free(h)
+            self._handle = None
+
     def factorize(self, Ax: np.ndarray) -> int:
-        """Numeric refactorization. Returns 0 on success, k>0 when the
-        pivot at (permuted) column k-1 is non-positive."""
+        """Numeric refactorization (no symbolic work). Returns 0 on
+        success, k>0 when the pivot at (permuted) column k-1 is
+        non-positive."""
         Ax = np.ascontiguousarray(Ax, dtype=np.float64)
-        rc = self._lib.sparse_chol_factorize(
-            self.n, _i64p(self.Ap), _i32p(self.Ai), _f64p(Ax),
-            _i32p(self.perm), _i64p(self.Lp), _i32p(self.Li),
-            _f64p(self.Lx),
+        rc = self._lib.sparse_chol_refactorize(
+            self._handle, _f64p(Ax), _i32p(self.Li), _f64p(self.Lx)
         )
         self._factorized = rc == 0
         return int(rc)
@@ -116,27 +135,42 @@ _SYMBOLIC_CACHE: dict = {}
 _CACHE_CAP = 32
 
 
+def callbacks_supported() -> bool:
+    """Whether the default JAX backend implements host callbacks
+    (jax.pure_callback). The axon TPU PJRT backend does not support host
+    send/recv, so in-graph host solves are only available on CPU; other
+    backends use the host-driven step path instead."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def _assemble_normal_eqs(nt, dynamic, D, args):
     """Host: scipy CSC upper triangle of J'J + diag(D^2) from the
-    per-family (tangent_idx, jac) pairs (crs_matrix.h-style assembly
-    from block Jacobians, without densification)."""
+    per-family lists of (tangent_idx, jac) pairs — one list per family,
+    one pair per argument; all arguments of a family share the same
+    residual rows (crs_matrix.h-style assembly from block Jacobians,
+    without densification)."""
     import scipy.sparse as sp
 
     rows_l, cols_l, vals_l = [], [], []
     row0 = 0
-    for tj, Jj in args:
-        tj = np.asarray(tj)
-        Jj = np.asarray(Jj, dtype=np.float64)
-        B, r, T = Jj.shape
-        rows_f = row0 + np.arange(B * r).reshape(B, r)
-        keep = tj < nt  # constant-block dummy columns
-        rr = np.broadcast_to(rows_f[:, :, None], (B, r, T))
-        cc = np.broadcast_to(tj[:, None, :], (B, r, T))
-        kk = np.broadcast_to(keep[:, None, :], (B, r, T))
-        rows_l.append(rr[kk])
-        cols_l.append(cc[kk])
-        vals_l.append(Jj[kk])
-        row0 += B * r
+    for fam_pairs in args:
+        nrows_f = 0
+        for tj, Jj in fam_pairs:
+            tj = np.asarray(tj)
+            Jj = np.asarray(Jj, dtype=np.float64)
+            B, r, T = Jj.shape
+            nrows_f = B * r
+            rows_f = row0 + np.arange(B * r).reshape(B, r)
+            keep = tj < nt  # constant-block dummy columns
+            rr = np.broadcast_to(rows_f[:, :, None], (B, r, T))
+            cc = np.broadcast_to(tj[:, None, :], (B, r, T))
+            kk = np.broadcast_to(keep[:, None, :], (B, r, T))
+            rows_l.append(rr[kk])
+            cols_l.append(cc[kk])
+            vals_l.append(Jj[kk])
+        row0 += nrows_f
     J = sp.csr_matrix(
         (
             np.concatenate(vals_l),
@@ -160,16 +194,18 @@ def host_sparse_normal_solve(
     rhs: np.ndarray,
     args,
 ) -> Tuple[np.ndarray, np.int32, np.int32]:
-    """Assemble + factorize + solve on the host. Returns
-    (y, iterations, termination-code)."""
+    """Assemble + factorize + solve on the host. ``args`` is one list
+    per residual family, each holding that family's per-argument
+    (tangent_idx, jacobian) pairs. Returns (y, iterations,
+    termination-code)."""
     H = _assemble_normal_eqs(nt, dynamic, D, args)
     y = np.zeros(nt, dtype=np.float64)
     try:
-        key = (
-            H.shape[0],
-            hash(H.indptr.tobytes()),
-            hash(H.indices.tobytes()),
-        )
+        # Key on the raw pattern bytes (not their hash): a hash collision
+        # between two patterns would silently reuse the wrong symbolic
+        # factorization (matters for dynamic_sparsity, where the pattern
+        # changes every iteration).
+        key = (H.shape[0], H.indptr.tobytes(), H.indices.tobytes())
         chol = _SYMBOLIC_CACHE.get(key)
         if chol is None:
             chol = SparseCholesky(H.shape[0], H.indptr, H.indices)
@@ -205,16 +241,21 @@ def solve_sparse_normal_cholesky(ctx, D, rhs=None, dynamic=False):
     nt = ctx.num_tangent
     rhs_arr = ctx.gradient() if rhs is None else rhs
     flat = []
+    fam_nargs = []
     for fi, fam in enumerate(ctx.families):
+        fam_nargs.append(fam.num_args)
         for j in range(fam.num_args):
             flat.append(fam.tangent_idx[j])
             flat.append(ctx.jacs[fi][j])
 
     def _host(D_h, rhs_h, *flat_h):
-        pairs = [
-            (flat_h[i], flat_h[i + 1]) for i in range(0, len(flat_h), 2)
-        ]
-        return host_sparse_normal_solve(nt, dynamic, D_h, rhs_h, pairs)
+        args, k = [], 0
+        for na in fam_nargs:
+            args.append(
+                [(flat_h[k + 2 * j], flat_h[k + 2 * j + 1]) for j in range(na)]
+            )
+            k += 2 * na
+        return host_sparse_normal_solve(nt, dynamic, D_h, rhs_h, args)
 
     out_dtype = rhs_arr.dtype
     y64, iters, term = jax.pure_callback(

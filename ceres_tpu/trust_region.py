@@ -154,6 +154,7 @@ class _SolveConfig:
     use_mixed_precision_solves: bool
     num_refinement_iterations: int
     num_tangent: int
+    dynamic_sparsity: bool = False
 
 
 def _config_from_options(options, program: Program) -> _SolveConfig:
@@ -173,6 +174,7 @@ def _config_from_options(options, program: Program) -> _SolveConfig:
             options.max_num_refinement_iterations, 1
         ),
         num_tangent=program.num_tangent,
+        dynamic_sparsity=getattr(options, "dynamic_sparsity", False),
     )
 
 
@@ -310,9 +312,20 @@ def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
             ctx, D, None, config, ss=solve_aux["ss"], rhs=rhs
         )
     if lst == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
-        # TPU-native stand-in: exact block factorization is replaced by
-        # CGNR with a block-Jacobi preconditioner driven to high
-        # accuracy (SURVEY.md §7 hard part (b)).
+        # Exact host simplicial Cholesky
+        # (sparse_normal_cholesky_solver.cc:51-120, sparse_cholesky.h:71-112).
+        # In-graph it needs jax.pure_callback, which only the CPU backend
+        # implements; the trust-region LM loop routes around this with a
+        # host-driven step (_make_sparse_lm_step_fn), so this in-jit
+        # branch is reached only from fully-jitted callers (dogleg,
+        # refinement). On callback-less backends those fall back to CGNR
+        # with a block-Jacobi preconditioner driven to high accuracy.
+        from ceres_tpu.linear import sparse_cholesky as _sc
+
+        if _sc.callbacks_supported():
+            return _sc.solve_sparse_normal_cholesky(
+                ctx, D, rhs=rhs, dynamic=config.dynamic_sparsity
+            )
         res = solve_cgnr(
             ctx,
             D,
@@ -453,10 +466,73 @@ def _make_linear_solve(options, program: Program):
     return linear_solve, solve_aux
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _sparse_prep_impl(ctx, radius, config: _SolveConfig):
+    """Device half 1 of the host-driven SPARSE_NORMAL_CHOLESKY step:
+    LM diagonal + rhs (levenberg_marquardt_strategy.cc:78-95)."""
+    diag = jnp.clip(
+        ctx.squared_column_norms(), config.min_lm_diagonal,
+        config.max_lm_diagonal,
+    )
+    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    return D, ctx.gradient()
+
+
+@jax.jit
+def _sparse_finish_impl(ctx, y):
+    """Device half 2: step + model cost change
+    (trust_region_minimizer.cc:424-438)."""
+    step = -y
+    Js = ctx.matvec(step)
+    mcc = jnp.asarray(0.0, jnp.float64)
+    for fi in range(len(ctx.families)):
+        mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+    return step, mcc
+
+
+def _make_sparse_lm_step_fn(config: _SolveConfig):
+    """Host-driven SPARSE_NORMAL_CHOLESKY LM step: device evaluates the
+    block Jacobian; the normal equations are assembled and factorized on
+    the HOST between two jitted computations — no pure_callback, so this
+    runs on every backend including axon (which lacks host callbacks).
+    Mirrors sparse_normal_cholesky_solver.cc:51-120 with the symbolic
+    factorization cached across iterations (sparse_cholesky.h:71-112)."""
+    from ceres_tpu.linear import sparse_cholesky as _sc
+
+    def step_fn(ctx, radius):
+        D, rhs = _sparse_prep_impl(ctx, radius, config)
+        args = [
+            [
+                (
+                    np.asarray(fam.tangent_idx[j]),
+                    np.asarray(ctx.jacs[fi][j], dtype=np.float64),
+                )
+                for j in range(fam.num_args)
+            ]
+            for fi, fam in enumerate(ctx.families)
+        ]
+        y, lin_iters, term = _sc.host_sparse_normal_solve(
+            config.num_tangent,
+            config.dynamic_sparsity,
+            np.asarray(D, dtype=np.float64),
+            np.asarray(rhs, dtype=np.float64),
+            args,
+        )
+        step, mcc = _sparse_finish_impl(ctx, jnp.asarray(y).astype(D.dtype))
+        return step, mcc, jnp.asarray(lin_iters), jnp.asarray(term)
+
+    return step_fn
+
+
 def _make_lm_step_fn(options, program: Program):
     """Returns f(ctx, radius) -> (step, model_cost_change, lin_iters,
     lin_termination) bound to the shared module-level jitted impl."""
     config = _config_from_options(options, program)
+    if (
+        config.linear_solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY
+        and not config.use_mixed_precision_solves
+    ):
+        return _make_sparse_lm_step_fn(config)
     solve_aux = _build_solve_aux(options, program)
     return lambda ctx, radius: _lm_step_impl(ctx, radius, solve_aux, config)
 
@@ -673,7 +749,7 @@ class TrustRegionMinimizer:
                     if jacobi_scaling is not None
                     else step_scaled
                 )
-                delta = self._projected_line_search(x, x_cost, delta)
+                delta = self._projected_line_search(x, x_cost, delta, grad)
                 candidate_x = program.clamp(self._plus(x, delta))
                 candidate_cost = float(self.evaluator.cost(candidate_x))
                 x_norm = float(jnp.linalg.norm(x))
@@ -851,25 +927,84 @@ class TrustRegionMinimizer:
             return True
         return False
 
-    def _projected_line_search(self, x, x_cost, delta):
-        """Backtracking Armijo search on alpha with bound projection.
+    def _projected_line_search(self, x, x_cost, delta, gradient):
+        """Projected Armijo backtracking with polynomial interpolation.
 
         Analog of TrustRegionMinimizer::DoLineSearch
-        (trust_region_minimizer.cc:290-379) specialized to the projected
-        step; keeps the candidate feasible and monotone.
+        (trust_region_minimizer.cc:290-379,590-635): sufficient-decrease
+        condition phi(a) <= phi(0) + c*a*phi'(0) on the projected step,
+        with the next trial step chosen by quadratic (first backtrack)
+        then cubic (subsequent) interpolation of the sampled values —
+        the reference's ArmijoLineSearch + polynomial.cc minimization —
+        safeguarded to [0.1a, 0.5a] like line_search.cc's
+        min/max_relative_step_size_change defaults.
         """
-        program = self.program
-        best_alpha, best_cost = 1.0, None
+        program, opts = self.program, self.options
+        c1 = opts.line_search_sufficient_function_decrease
+        phi0 = x_cost
+        dphi0 = float(jnp.vdot(gradient.astype(jnp.float64),
+                               delta.astype(jnp.float64)))
+        if not np.isfinite(dphi0) or dphi0 >= 0.0:
+            # Scaling/projection degraded descent: keep the full step and
+            # let the step-quality test reject it (the reference treats a
+            # non-descent direction as line search failure).
+            return delta
         alpha = 1.0
-        for _ in range(self.options.max_num_line_search_step_size_iterations):
-            cand = program.clamp(self._plus(x, alpha * delta))
-            c = float(self.evaluator.cost(cand))
-            if best_cost is None or c < best_cost:
-                best_cost, best_alpha = c, alpha
-            if np.isfinite(c) and c < x_cost:
+        prev = None  # (alpha, phi) of the previous trial
+        for _ in range(opts.max_num_line_search_step_size_iterations):
+            if alpha < opts.min_line_search_step_size:
+                # Degenerate step (line_search.cc ArmijoLineSearch's
+                # min_step_size abort): a rounding-level alpha can
+                # satisfy the sufficient-decrease test spuriously and
+                # trip the parameter-tolerance check. Treat as failure.
                 break
-            alpha *= 0.5
-        return best_alpha * delta
+            cand = program.clamp(self._plus(x, alpha * delta))
+            phi = float(self.evaluator.cost(cand))
+            if np.isfinite(phi) and phi <= phi0 + c1 * alpha * dphi0:
+                return alpha * delta
+            if prev is None or not np.isfinite(phi):
+                # Quadratic through phi(0), phi'(0), (alpha, phi).
+                denom = 2.0 * (phi - phi0 - dphi0 * alpha)
+                a_next = (
+                    -dphi0 * alpha * alpha / denom
+                    if np.isfinite(denom) and denom > 0.0
+                    else 0.5 * alpha
+                )
+            else:
+                # Cubic through phi(0), phi'(0) and the last two samples
+                # (Nocedal & Wright eq. 3.43; polynomial.cc analog).
+                a0, f0 = prev
+                a1, f1 = alpha, phi
+                d = a0 * a0 * a1 * a1 * (a1 - a0)
+                if d != 0.0 and np.isfinite(f0):
+                    r0 = f0 - phi0 - dphi0 * a0
+                    r1 = f1 - phi0 - dphi0 * a1
+                    ca = (a0 * a0 * r1 - a1 * a1 * r0) / d
+                    cb = (-(a0**3) * r1 + (a1**3) * r0) / d
+                    disc = cb * cb - 3.0 * ca * dphi0
+                    if ca != 0.0 and disc >= 0.0:
+                        a_next = (-cb + np.sqrt(disc)) / (3.0 * ca)
+                    elif cb != 0.0:
+                        a_next = -dphi0 / (2.0 * cb)
+                    else:
+                        a_next = 0.5 * alpha
+                else:
+                    a_next = 0.5 * alpha
+            if not np.isfinite(a_next):
+                a_next = 0.5 * alpha
+            a_next = min(max(a_next, 0.1 * alpha), 0.5 * alpha)
+            if np.isfinite(phi):
+                prev = (alpha, phi)
+            alpha = a_next
+        # Line search failed: keep the FULL step, exactly like the
+        # reference (line_search_summary.success == false leaves delta
+        # unscaled, trust_region_minimizer.cc:633-635). The clamped
+        # candidate is then rejected by the step-quality test and the
+        # radius shrinks until the direction follows the projected
+        # gradient — returning the best tiny step instead would trip the
+        # parameter-tolerance test and report false convergence at an
+        # active bound.
+        return delta
 
     def _run_callbacks(self, it: IterationSummary, x=None) -> bool:
         """Returns True if minimization should stop (callbacks.h:45-75)."""

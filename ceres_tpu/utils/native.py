@@ -127,6 +127,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64, p_i64, p_i32, p_f64, p_i32, i64, p_f64, p_f64,
     ]
     lib.sparse_chol_solve.restype = ctypes.c_int
+    lib.sparse_chol_symbolic_new.argtypes = [
+        i64, p_i64, p_i32, p_i32, p_i32, p_i64,
+    ]
+    lib.sparse_chol_symbolic_new.restype = ctypes.c_void_p
+    lib.sparse_chol_symbolic_nnz.argtypes = [ctypes.c_void_p]
+    lib.sparse_chol_symbolic_nnz.restype = i64
+    lib.sparse_chol_symbolic_free.argtypes = [ctypes.c_void_p]
+    lib.sparse_chol_symbolic_free.restype = None
+    lib.sparse_chol_refactorize.argtypes = [
+        ctypes.c_void_p, p_f64, p_i32, p_f64,
+    ]
+    lib.sparse_chol_refactorize.restype = i64
     _lib = lib
     return _lib
 

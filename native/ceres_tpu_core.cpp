@@ -637,45 +637,31 @@ static int64_t row_reach(int64_t k, const std::vector<int64_t>& Bp,
   return nreach;
 }
 
-// Symbolic analysis: ordering is caller-provided in perm (use
-// mindeg_order or identity). Computes the elimination tree (parent) and
-// the column pointers Lp of L (lower CSC, diagonal first per column).
-// Returns nnz(L) on success, -1 on error.
-int64_t sparse_chol_analyze(int64_t n, const int64_t* Ap, const int32_t* Ai,
-                            const int32_t* perm, int32_t* parent,
-                            int64_t* Lp) {
-  std::vector<int64_t> Bp;
-  std::vector<int32_t> Bi;
-  std::vector<int64_t> Bsrc;
-  permute_upper(n, Ap, Ai, perm, Bp, Bi, Bsrc);
-  std::vector<int32_t> par;
-  etree_of(n, Bp, Bi, par);
-  std::vector<int64_t> colcount(n, 1);  // diagonal
-  std::vector<int32_t> mark(n, -1), stack(n), reach(n);
-  for (int64_t k = 0; k < n; ++k) {
-    int64_t nr = row_reach(k, Bp, Bi, par, mark, stack, reach);
-    for (int64_t t = 0; t < nr; ++t) colcount[reach[t]]++;
-  }
-  Lp[0] = 0;
-  for (int64_t j = 0; j < n; ++j) Lp[j + 1] = Lp[j] + colcount[j];
-  for (int64_t j = 0; j < n; ++j) parent[j] = par[j];
-  return Lp[n];
-}
+}  // extern "C"
 
-// Numeric factorization (up-looking row LL^T). Caller allocates
-// Li/Lx of size nnz(L) from analyze. Values Ax correspond to the
-// ORIGINAL (unpermuted) pattern handed to analyze. Returns 0 on
-// success, k+1 if the pivot at permuted column k is not positive
-// (matrix not positive definite — LinearSolverTerminationType FAILURE).
-int64_t sparse_chol_factorize(int64_t n, const int64_t* Ap, const int32_t* Ai,
-                              const double* Ax, const int32_t* perm,
-                              const int64_t* Lp, int32_t* Li, double* Lx) {
+// Symbolic factorization state: the permuted pattern + source map +
+// elimination tree + L column pointers, computed once per sparsity
+// pattern (SuiteSparse cholmod_analyze analog). Numeric refactorization
+// (per LM iteration) reuses all of it — the analyze-once/refactor-many
+// split of sparse_cholesky.h:71-112.
+struct SparseCholSymbolic {
+  int64_t n;
   std::vector<int64_t> Bp;
   std::vector<int32_t> Bi;
   std::vector<int64_t> Bsrc;
-  permute_upper(n, Ap, Ai, perm, Bp, Bi, Bsrc);
   std::vector<int32_t> parent;
-  etree_of(n, Bp, Bi, parent);
+  std::vector<int64_t> Lp;
+};
+
+// Numeric core shared by the handle API and the legacy one-shot entry.
+static int64_t chol_numeric(const SparseCholSymbolic& S, const double* Ax,
+                            int32_t* Li, double* Lx) {
+  const int64_t n = S.n;
+  const std::vector<int64_t>& Bp = S.Bp;
+  const std::vector<int32_t>& Bi = S.Bi;
+  const std::vector<int64_t>& Bsrc = S.Bsrc;
+  const std::vector<int32_t>& parent = S.parent;
+  const int64_t* Lp = S.Lp.data();
   std::vector<int32_t> mark(n, -1), stack(n), reach(n);
   std::vector<double> x(n, 0.0);
   std::vector<int64_t> lnext(n);  // next free slot per column of L
@@ -708,6 +694,84 @@ int64_t sparse_chol_factorize(int64_t n, const int64_t* Ap, const int32_t* Ai,
     Lx[Lp[k]] = std::sqrt(d);
   }
   return 0;
+}
+
+extern "C" {
+
+// Symbolic analysis returning an opaque handle for refactorization.
+// Ordering is caller-provided in perm (use mindeg_order or identity).
+// Fills parent (elimination tree) and Lp (L column pointers, lower CSC,
+// diagonal first per column). Returns the handle; null on error.
+void* sparse_chol_symbolic_new(int64_t n, const int64_t* Ap,
+                               const int32_t* Ai, const int32_t* perm,
+                               int32_t* parent, int64_t* Lp) {
+  SparseCholSymbolic* s = new SparseCholSymbolic;
+  s->n = n;
+  permute_upper(n, Ap, Ai, perm, s->Bp, s->Bi, s->Bsrc);
+  etree_of(n, s->Bp, s->Bi, s->parent);
+  std::vector<int64_t> colcount(n, 1);  // diagonal
+  std::vector<int32_t> mark(n, -1), stack(n), reach(n);
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t nr = row_reach(k, s->Bp, s->Bi, s->parent, mark, stack, reach);
+    for (int64_t t = 0; t < nr; ++t) colcount[reach[t]]++;
+  }
+  s->Lp.assign(n + 1, 0);
+  for (int64_t j = 0; j < n; ++j) s->Lp[j + 1] = s->Lp[j] + colcount[j];
+  for (int64_t j = 0; j < n; ++j) parent[j] = s->parent[j];
+  for (int64_t j = 0; j <= n; ++j) Lp[j] = s->Lp[j];
+  return s;
+}
+
+int64_t sparse_chol_symbolic_nnz(void* handle) {
+  return ((SparseCholSymbolic*)handle)->Lp.back();
+}
+
+void sparse_chol_symbolic_free(void* handle) {
+  delete (SparseCholSymbolic*)handle;
+}
+
+// Numeric refactorization on a symbolic handle: NO symbolic work is
+// repeated (the per-iteration cost CHOLMOD's factorize gives the
+// reference). Values Ax correspond to the ORIGINAL (unpermuted) pattern
+// handed to sparse_chol_symbolic_new. Returns 0 on success, k+1 if the
+// pivot at permuted column k is not positive (matrix not positive
+// definite — LinearSolverTerminationType FAILURE).
+int64_t sparse_chol_refactorize(void* handle, const double* Ax, int32_t* Li,
+                                double* Lx) {
+  return chol_numeric(*(SparseCholSymbolic*)handle, Ax, Li, Lx);
+}
+
+// Legacy one-shot entries (kept for ABI compatibility; prefer the
+// handle API above, which amortizes the symbolic work).
+int64_t sparse_chol_analyze(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                            const int32_t* perm, int32_t* parent,
+                            int64_t* Lp) {
+  void* h = sparse_chol_symbolic_new(n, Ap, Ai, perm, parent, Lp);
+  if (!h) return -1;
+  int64_t nnz = sparse_chol_symbolic_nnz(h);
+  sparse_chol_symbolic_free(h);
+  return nnz;
+}
+
+int64_t sparse_chol_factorize(int64_t n, const int64_t* Ap, const int32_t* Ai,
+                              const double* Ax, const int32_t* perm,
+                              const int64_t* Lp, int32_t* Li, double* Lx) {
+  (void)Lp;
+  SparseCholSymbolic s;
+  s.n = n;
+  permute_upper(n, Ap, Ai, perm, s.Bp, s.Bi, s.Bsrc);
+  etree_of(n, s.Bp, s.Bi, s.parent);
+  s.Lp.assign(n + 1, 0);
+  {
+    std::vector<int64_t> colcount(n, 1);
+    std::vector<int32_t> mark(n, -1), stack(n), reach(n);
+    for (int64_t k = 0; k < n; ++k) {
+      int64_t nr = row_reach(k, s.Bp, s.Bi, s.parent, mark, stack, reach);
+      for (int64_t t = 0; t < nr; ++t) colcount[reach[t]]++;
+    }
+    for (int64_t j = 0; j < n; ++j) s.Lp[j + 1] = s.Lp[j] + colcount[j];
+  }
+  return chol_numeric(s, Ax, Li, Lx);
 }
 
 // Solve A x = b given the factor of P A P': x = P' (L^-T (L^-1 (P b))).
