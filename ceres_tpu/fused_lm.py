@@ -289,8 +289,9 @@ def fused_solve(options, problem):
     )
 
     summary = SolverSummary()
-    summary.initial_cost = float(c0)
-    summary.final_cost = float(cost)
+    summary.fixed_cost = program.fixed_cost
+    summary.initial_cost = float(c0) + program.fixed_cost
+    summary.final_cost = float(cost) + program.fixed_cost
     summary.num_successful_steps = int(succ)
     summary.num_unsuccessful_steps = int(unsucc)
     summary.minimizer_type = resolved.minimizer_type

@@ -496,16 +496,48 @@ class Problem:
             prog = self.program()
         ev = Evaluator(prog, apply_loss_function=apply_loss_function)
         x = prog.initial_ambient()
+        # Problem::Evaluate covers ALL residual blocks, including those
+        # the reduced program drops (problem_impl.cc builds its own full
+        # Program): add the fixed families' contribution back.
         out = {"cost": float(ev.cost(x))}
+        fixed = tuple(prog.fixed_families)
+        if fixed:
+            from ceres_tpu.evaluator import _cost_impl, _residuals_impl
+
+            if apply_loss_function:
+                out["cost"] += prog.fixed_cost
+            else:
+                out["cost"] += float(_cost_impl(x, fixed, False))
         if residuals:
-            out["residuals"] = np.asarray(ev.residuals(x))
+            r = np.asarray(ev.residuals(x))
+            if fixed:
+                from ceres_tpu.evaluator import _residuals_impl
+
+                rf = np.asarray(
+                    _residuals_impl(x, fixed, apply_loss_function)
+                )
+                r = np.concatenate([r, rf])
+            out["residuals"] = r
         if gradient or jacobian:
             full = ev.cost_gradient_jacobian(x)
             if gradient:
                 out["gradient"] = np.asarray(full.gradient)
             if jacobian:
-                out["jacobian"] = np.asarray(full.jacobian_context.to_dense())
-                out["jacobian_crs"] = _to_crs(full.jacobian_context)
+                J = np.asarray(full.jacobian_context.to_dense())
+                Jc = _to_crs(full.jacobian_context)
+                if fixed:
+                    # Fixed blocks have no varying columns: zero rows
+                    # (matches the reference, where constant blocks get
+                    # no jacobian columns).
+                    import scipy.sparse as sp
+
+                    nf = sum(f.batch * f.residual_size for f in fixed)
+                    J = np.vstack([J, np.zeros((nf, J.shape[1]))])
+                    Jc = sp.vstack(
+                        [Jc, sp.csr_matrix((nf, Jc.shape[1]))]
+                    ).tocsr()
+                out["jacobian"] = J
+                out["jacobian_crs"] = Jc
         return out
 
     def write_back(self, x_ambient: np.ndarray) -> None:
@@ -1037,7 +1069,85 @@ class Program:
                     reduce_plans=tuple(reduce_plans),
                 )
             )
-        self.families: List[Family] = families
+        # Reduced program (program.cc:291-415 CreateReducedProgram):
+        # residual blocks whose every parameter block is constant
+        # contribute a CONSTANT cost — drop them from the jitted
+        # evaluation and fold their cost into ``fixed_cost`` once.
+        active, fixed = self._split_fixed_families(families)
+        self.families: List[Family] = active
+        self.fixed_families: List[Family] = fixed
+        self.fixed_cost: float = 0.0
+        if fixed:
+            from ceres_tpu.evaluator import _cost_impl
+
+            self.fixed_cost = float(
+                _cost_impl(self.initial_ambient(), tuple(fixed), True)
+            )
+
+    def _split_fixed_families(self, families):
+        """Partition family instances into active (>=1 varying block) and
+        fixed (all blocks constant) rows."""
+        const_by_pid = {
+            rec.pid: rec.constant for rec in self.blocks
+        }
+        active, fixed = [], []
+        for fam in families:
+            ids = np.asarray(fam.block_ids)
+            fixed_mask = np.ones(ids.shape[0], dtype=bool)
+            for j in range(ids.shape[1]):
+                fixed_mask &= np.asarray(
+                    [const_by_pid[int(p)] for p in ids[:, j]]
+                )
+            if not fixed_mask.any():
+                active.append(fam)
+            elif fixed_mask.all():
+                fixed.append(fam)
+            else:
+                active.append(self._family_take_rows(fam, ~fixed_mask))
+                fixed.append(self._family_take_rows(fam, fixed_mask))
+        return active, fixed
+
+    def _family_take_rows(self, fam: Family, mask: np.ndarray) -> Family:
+        """Row-subset of a batched family (rebuilds reduce plans)."""
+        B = fam.batch
+        take = lambda a: a[np.asarray(mask)]
+        loss = fam.loss
+        if loss is not None:
+            loss = jax.tree_util.tree_map(
+                lambda a: take(jnp.asarray(a))
+                if hasattr(a, "shape")
+                and getattr(a, "ndim", 0) >= 1
+                and a.shape[0] == B
+                else a,
+                loss,
+            )
+        data = (
+            None
+            if fam.data is None
+            else jax.tree_util.tree_map(lambda a: take(a), fam.data)
+        )
+        bd_pos, reduce_plans = [], []
+        for j in range(fam.num_args):
+            T = fam.structure.tangent_sizes[j]
+            dummy = self.bd_groups.get(T, np.zeros((0, T))).shape[0]
+            pj = np.asarray(fam.bd_pos[j])[mask]
+            bd_pos.append(jnp.asarray(pj))
+            reduce_plans.append(_build_arg_plan(pj, dummy))
+        return Family(
+            structure=fam.structure,
+            loss=loss,
+            batch=int(mask.sum()),
+            ambient_idx=tuple(take(a) for a in fam.ambient_idx),
+            tangent_idx=tuple(take(a) for a in fam.tangent_idx),
+            data=data,
+            residual_ids=np.asarray(fam.residual_ids)[mask],
+            block_ids=np.asarray(fam.block_ids)[mask],
+            bd_pos=tuple(bd_pos),
+            amb_pos=tuple(take(a) for a in fam.amb_pos),
+            amb_tab=fam.amb_tab,
+            amb_slice=fam.amb_slice,
+            reduce_plans=tuple(reduce_plans),
+        )
 
     @staticmethod
     def _infer_residual_size(fn, sizes, data) -> int:
@@ -1058,9 +1168,19 @@ class Program:
     # -- reporting ----------------------------------------------------------
 
     def num_residuals(self) -> int:
-        return sum(f.batch * f.residual_size for f in self.families)
+        return sum(
+            f.batch * f.residual_size
+            for f in self.families + self.fixed_families
+        )
 
     def num_residual_blocks(self) -> int:
+        return sum(f.batch for f in self.families + self.fixed_families)
+
+    def num_residuals_reduced(self) -> int:
+        """Rows in the reduced program (program.cc:291 analog)."""
+        return sum(f.batch * f.residual_size for f in self.families)
+
+    def num_residual_blocks_reduced(self) -> int:
         return sum(f.batch for f in self.families)
 
     def num_parameter_blocks(self) -> int:

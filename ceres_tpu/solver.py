@@ -302,6 +302,9 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     summary.num_effective_parameters = program.num_tangent
     summary.num_residual_blocks = program.num_residual_blocks()
     summary.num_residuals = program.num_residuals()
+    # Cost of residual blocks dropped by the reduced program
+    # (program.cc:291-415): constant for the whole solve.
+    summary.fixed_cost = program.fixed_cost
 
     err = options.validate(program.num_tangent)
     if err is not None:
@@ -315,7 +318,7 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         from ceres_tpu.evaluator import Evaluator
 
         ev = Evaluator(program)
-        c = float(ev.cost(program.initial_ambient()))
+        c = float(ev.cost(program.initial_ambient())) + program.fixed_cost
         summary.initial_cost = summary.final_cost = c
         summary.termination_type = TerminationType.CONVERGENCE
         summary.message = "No effective parameters; problem is constant."
