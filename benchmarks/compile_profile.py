@@ -45,6 +45,13 @@ def main():
     options = make_options()
     t0 = time.time()
     program = problem.program()
+    # Cast FIRST, matching fused_solve's order (fused_lm.py): config and
+    # solve_aux (Schur structure) must be built at the evaluation dtype
+    # or the profiled lowering differs from the production graph.
+    if options.evaluation_dtype is not None:
+        from ceres_tpu.problem import cast_program
+
+        cast_program(program, options.evaluation_dtype)
     resolved = dataclasses.replace(
         options,
         linear_solver_type=options.resolved_linear_solver_type(
@@ -68,9 +75,6 @@ def main():
     solve_aux = _build_solve_aux(resolved, program)
     x0 = program.initial_ambient()
     if options.evaluation_dtype is not None:
-        from ceres_tpu.problem import cast_program
-
-        cast_program(program, options.evaluation_dtype)
         x0 = x0.astype(options.evaluation_dtype)
     print(f"setup: {time.time()-t0:.1f}s", flush=True)
 

@@ -162,3 +162,217 @@ def segment_sum_sorted(
         flat, seg_tiles, starts, num_groups, maxp, tile_b, interpret
     )
     return out.reshape((num_groups + 1,) + tail)
+
+
+# ---------------------------------------------------------------------------
+# Output-blocked variant for LARGE group counts.
+#
+# The kernel above keeps the whole (G_pad, d) output in VMEM across the
+# grid. Mosaic lane-pads d up to 128, so a (200k, 3) point system costs
+# ~100 MB of scoped VMEM — far past the ~16 MB limit. Here the output is
+# blocked over a fixed grid of windows of SEG_BLOCK segments (+ a
+# maxp-wide halo); a scalar-prefetch index map routes each row tile to
+# its window block (the sorted starts make the visit order monotone, so
+# each block is resident in VMEM for exactly one contiguous run), and a
+# dense pad+add overlap-add folds the halos afterwards. Per-step VMEM is
+# O((SEG_BLOCK + maxp) * 128 * 4) regardless of G.
+# ---------------------------------------------------------------------------
+
+SEG_BLOCK = 2048
+
+
+def build_blocked_plan(
+    seg: np.ndarray,
+    num_groups: int,
+    tile_b: int = TILE_B,
+    seg_block: int = SEG_BLOCK,
+):
+    """Host plan for the output-blocked kernel.
+
+    Returns (seg_tiles (T,1,tile_b) int32 ids LOCAL to the tile window,
+    tile_src (T,) int32 contribution-tile index, block_of_tile (T,)
+    int32, local_starts (T,) int32 window offset inside the output
+    block, maxp, seg_block, num_blocks, padded_B). Dummy tiles (local id
+    -1 everywhere, contributions dropped) are inserted so every output
+    block is visited at least once (unvisited blocks would otherwise
+    keep garbage from the uninitialized output buffer).
+    """
+    local, starts, maxp, Bp = build_sorted_plan(seg, num_groups, tile_b)
+    S = int(max(seg_block, maxp))
+    S = int(-(-S // 8) * 8)
+    starts_flat = starts.reshape(-1).astype(np.int64)
+    n_real = starts_flat.shape[0]
+    num_blocks = int(-(-(num_groups + 1 + maxp) // S)) + 1
+    bof = np.minimum(starts_flat // S, num_blocks - 1).astype(np.int32)
+    lstart = (starts_flat - bof.astype(np.int64) * S).astype(np.int32)
+
+    # Insert one dummy tile for every block the real tiles skip.
+    missing = np.setdiff1d(np.arange(num_blocks, dtype=np.int32), bof)
+    tiles_local = [local.reshape(n_real, tile_b)]
+    src = [np.arange(n_real, dtype=np.int32)]
+    bofs = [bof]
+    lstarts = [lstart]
+    if missing.size:
+        tiles_local.append(
+            np.full((missing.size, tile_b), -1, dtype=np.int32)
+        )
+        src.append(np.zeros(missing.size, dtype=np.int32))
+        bofs.append(missing)
+        lstarts.append(np.zeros(missing.size, dtype=np.int32))
+    tiles_local = np.concatenate(tiles_local)
+    src = np.concatenate(src)
+    bofs = np.concatenate(bofs)
+    lstarts = np.concatenate(lstarts)
+    order = np.argsort(bofs, kind="stable")  # monotone block visits
+    return (
+        tiles_local[order].reshape(-1, 1, tile_b),
+        src[order],
+        bofs[order],
+        lstarts[order],
+        maxp,
+        S,
+        num_blocks,
+        Bp,
+    )
+
+
+def _kernel_blocked(
+    src_ref, bof_ref, lstart_ref, seg_ref, contrib_ref, out_ref, *, maxp
+):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    first_visit = (i == 0) | (
+        bof_ref[i] != bof_ref[jnp.maximum(i - 1, 0)]
+    )
+
+    @pl.when(first_visit)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ls = lstart_ref[i]
+    seg_local = seg_ref[0, 0, :]  # ids local to the tile window; -1=dummy
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (maxp, seg_local.shape[0]), 0
+    )
+    onehot = (rows == seg_local[None, :]).astype(contrib_ref.dtype)
+    partial = jnp.dot(
+        onehot,
+        contrib_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(out_ref.dtype)
+    window = out_ref[0, pl.ds(ls, maxp), :]
+    out_ref[0, pl.ds(ls, maxp), :] = window + partial
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_groups", "maxp", "seg_block", "num_blocks", "tile_b",
+        "interpret",
+    ),
+)
+def sorted_segment_sum_blocked(
+    contrib: jax.Array,
+    seg_tiles: jax.Array,
+    tile_src: jax.Array,
+    block_of_tile: jax.Array,
+    local_starts: jax.Array,
+    num_groups: int,
+    maxp: int,
+    seg_block: int,
+    num_blocks: int,
+    tile_b: int = TILE_B,
+    interpret: bool = False,
+) -> jax.Array:
+    """Output-blocked reduce: (B_padded, d) -> (G+1, d), VMEM-bounded."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = contrib.shape[1]
+    num_tiles = seg_tiles.shape[0]
+    S = seg_block
+    W = S + maxp
+
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1, tile_b), lambda i, src, bof, ls: (i, 0, 0)),
+                pl.BlockSpec(
+                    (tile_b, d), lambda i, src, bof, ls: (src[i], 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, W, d), lambda i, src, bof, ls: (bof[i], 0, 0)
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_blocked, maxp=maxp),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((num_blocks, W, d), contrib.dtype),
+            interpret=interpret,
+        )(tile_src, block_of_tile, local_starts, seg_tiles, contrib)
+
+    # Overlap-add: block b's rows [0,S) land at b*S; its halo [S,W) at
+    # (b+1)*S. Halos never overlap each other (maxp <= S), so two dense
+    # pads + one add fold everything — no scatter.
+    main = out[:, :S, :].reshape(num_blocks * S, d)
+    halo = out[:, S:, :]  # (num_blocks, maxp, d)
+    halo = jnp.pad(halo, ((0, 0), (0, S - maxp), (0, 0))).reshape(
+        num_blocks * S, d
+    )
+    total = jnp.pad(main, ((0, S), (0, 0))) + jnp.pad(
+        halo, ((S, 0), (0, 0))
+    )
+    return total[: num_groups + 1]
+
+
+def segment_sum_sorted_blocked(
+    contrib: jax.Array,
+    seg_tiles: jax.Array,
+    tile_src: jax.Array,
+    block_of_tile: jax.Array,
+    local_starts: jax.Array,
+    num_groups: int,
+    maxp: int,
+    seg_block: int,
+    num_blocks: int,
+    padded_b: int,
+    tile_b: int = TILE_B,
+    interpret: bool = False,
+) -> jax.Array:
+    """apply_reduce-compatible wrapper: (B, ...) -> (G+1, ...).
+
+    ``padded_b`` is the plan's padded contribution row count (real
+    tiles * tile_b; dummy tiles re-read tile 0 and drop every row).
+    """
+    B = contrib.shape[0]
+    tail = contrib.shape[1:]
+    flat = contrib.reshape(B, -1)
+    if flat.shape[0] != padded_b:
+        flat = jnp.concatenate(
+            [
+                flat,
+                jnp.zeros(
+                    (padded_b - flat.shape[0], flat.shape[1]), flat.dtype
+                ),
+            ],
+            axis=0,
+        )
+    out = sorted_segment_sum_blocked(
+        flat,
+        seg_tiles,
+        tile_src,
+        block_of_tile,
+        local_starts,
+        num_groups,
+        maxp,
+        seg_block,
+        num_blocks,
+        tile_b,
+        interpret,
+    )
+    return out.reshape((num_groups + 1,) + tail)

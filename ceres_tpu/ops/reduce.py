@@ -58,12 +58,26 @@ class ReducePlan:
     starts: Optional[jax.Array] = None
     maxp: int = 0
     tile_b: int = 0
+    # sorted_blocked (large-G, VMEM-bounded output blocks): scalar-
+    # prefetch routing arrays + static window geometry.
+    tile_src: Optional[jax.Array] = None
+    block_of_tile: Optional[jax.Array] = None
+    local_starts: Optional[jax.Array] = None
+    seg_block: int = 0
+    num_blocks: int = 0
+    padded_b: int = 0
 
 
 jax.tree_util.register_dataclass(
     ReducePlan,
-    data_fields=["onehot", "ell", "seg", "seg_tiles", "starts"],
-    meta_fields=["kind", "num_groups", "maxp", "tile_b"],
+    data_fields=[
+        "onehot", "ell", "seg", "seg_tiles", "starts", "tile_src",
+        "block_of_tile", "local_starts",
+    ],
+    meta_fields=[
+        "kind", "num_groups", "maxp", "tile_b", "seg_block", "num_blocks",
+        "padded_b",
+    ],
 )
 
 
@@ -109,13 +123,37 @@ def build_reduce_plan(
         # Degenerate sortedness (one tile spanning most groups) loses
         # the window locality — only worth it when windows are narrow.
         if maxp <= 4 * TILE_B:
+            # Whole-output kernel keeps (G_pad, d) in VMEM, lane-padded
+            # to 128 — fine for small G; past ~8k groups switch to the
+            # output-blocked variant (ops/pallas_segment.py SEG_BLOCK)
+            # whose VMEM footprint is independent of G.
+            g_pad = -(-(G + 1 + maxp) // 8) * 8
+            if g_pad <= 8192:
+                return ReducePlan(
+                    kind="sorted",
+                    num_groups=G,
+                    seg_tiles=jnp.asarray(local),
+                    starts=jnp.asarray(starts),
+                    maxp=maxp,
+                    tile_b=TILE_B,
+                )
+            from ceres_tpu.ops.pallas_segment import build_blocked_plan
+
+            (tiles, src, bof, lstart, maxp_b, S, nblk, Bp) = (
+                build_blocked_plan(seg, G, TILE_B)
+            )
             return ReducePlan(
-                kind="sorted",
+                kind="sorted_blocked",
                 num_groups=G,
-                seg_tiles=jnp.asarray(local),
-                starts=jnp.asarray(starts),
-                maxp=maxp,
+                seg_tiles=jnp.asarray(tiles),
+                tile_src=jnp.asarray(src),
+                block_of_tile=jnp.asarray(bof),
+                local_starts=jnp.asarray(lstart),
+                maxp=maxp_b,
                 tile_b=TILE_B,
+                seg_block=S,
+                num_blocks=nblk,
+                padded_b=Bp,
             )
 
     counts = np.bincount(seg, minlength=G + 1)
@@ -166,10 +204,33 @@ def apply_reduce(plan: ReducePlan, contrib: jax.Array) -> jax.Array:
             plan.maxp,
             plan.tile_b,
         )
+    if plan.kind == "sorted_blocked":
+        from ceres_tpu.ops.pallas_segment import segment_sum_sorted_blocked
+
+        return segment_sum_sorted_blocked(
+            contrib,
+            plan.seg_tiles,
+            plan.tile_src,
+            plan.block_of_tile,
+            plan.local_starts,
+            G,
+            plan.maxp,
+            plan.seg_block,
+            plan.num_blocks,
+            plan.padded_b,
+            plan.tile_b,
+        )
     if plan.kind == "ell":
-        pad = jnp.zeros((1,) + tail, dtype=contrib.dtype)
-        cp = jnp.concatenate([contrib, pad], axis=0)
-        gathered = cp[plan.ell]  # (G+1, K, ...)
-        return jnp.sum(gathered, axis=1)
-    out = jnp.zeros((G + 1,) + tail, dtype=contrib.dtype)
-    return out.at[plan.seg].add(contrib, mode="drop")
+        # Flatten the tail BEFORE the gather: a (rows, 9, 9) gather is
+        # tile-padded (8,128) by XLA — 25x memory expansion at BAL scale
+        # (9.8 GB for 1.2M observations); (rows, 81) pads only the lane
+        # remainder (~1.6x).
+        flat = contrib.reshape(B, -1)
+        pad = jnp.zeros((1, flat.shape[1]), dtype=flat.dtype)
+        cp = jnp.concatenate([flat, pad], axis=0)
+        gathered = cp[plan.ell]  # (G+1, K, d)
+        return jnp.sum(gathered, axis=1).reshape((G + 1,) + tail)
+    flat = contrib.reshape(B, -1)
+    out = jnp.zeros((G + 1, flat.shape[1]), dtype=flat.dtype)
+    out = out.at[plan.seg].add(flat, mode="drop")
+    return out.reshape((G + 1,) + tail)

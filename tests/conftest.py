@@ -21,3 +21,20 @@ if "--xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries.
+
+    A full-suite run accumulates ~1500 XLA:CPU executables in one
+    process and deterministically segfaults inside
+    backend_compile_and_load near the end (reproduced twice at the same
+    collection index; every module passes in isolation). Dropping the
+    executable caches between modules keeps the compiler state bounded.
+    """
+    yield
+    jax.clear_caches()

@@ -112,3 +112,99 @@ def test_sorted_plan_apply_reduce_interpret(monkeypatch):
     )
     out_ell = np.asarray(red.apply_reduce(plan_ell, contrib))
     np.testing.assert_allclose(out_sorted[:G], out_ell[:G], atol=1e-4)
+
+
+# -- output-blocked variant (large G) ---------------------------------------
+
+from ceres_tpu.ops.pallas_segment import (
+    build_blocked_plan,
+    segment_sum_sorted_blocked,
+)
+
+
+@pytest.mark.parametrize(
+    "B,G,d,seg_block",
+    [
+        (20000, 15000, 3, 2048),   # many groups, small d (BA points)
+        (8192, 9000, 9, 1024),     # gaps likely (G > B)
+        (4096, 30000, 4, 512),     # very sparse coverage -> dummy tiles
+    ],
+)
+def test_blocked_kernel_matches_numpy(B, G, d, seg_block):
+    rng = np.random.default_rng(B + G + d)
+    seg = np.sort(rng.integers(0, G, B))
+    contrib = rng.standard_normal((B, d)).astype(np.float32)
+    tiles, src, bof, lstart, maxp, S, nblk, Bp = build_blocked_plan(
+        seg, G, tile_b=512, seg_block=seg_block
+    )
+    out = np.asarray(
+        segment_sum_sorted_blocked(
+            jnp.asarray(contrib),
+            jnp.asarray(tiles),
+            jnp.asarray(src),
+            jnp.asarray(bof),
+            jnp.asarray(lstart),
+            G,
+            maxp,
+            S,
+            nblk,
+            Bp,
+            tile_b=512,
+            interpret=True,
+        )
+    )
+    expect = _reference(seg, contrib, G)
+    np.testing.assert_allclose(out[:G], expect[:G], atol=1e-4)
+
+
+def test_blocked_kernel_duplicate_heavy():
+    # one giant segment spanning many tiles + sparse rest
+    rng = np.random.default_rng(3)
+    B, G = 16384, 12000
+    seg = np.concatenate(
+        [np.zeros(6000, np.int64), np.sort(rng.integers(1, G, B - 6000))]
+    )
+    contrib = rng.standard_normal((B, 5)).astype(np.float32)
+    tiles, src, bof, lstart, maxp, S, nblk, Bp = build_blocked_plan(
+        seg, G, tile_b=512
+    )
+    out = np.asarray(
+        segment_sum_sorted_blocked(
+            jnp.asarray(contrib), jnp.asarray(tiles), jnp.asarray(src),
+            jnp.asarray(bof), jnp.asarray(lstart), G, maxp, S, nblk, Bp,
+            tile_b=512, interpret=True,
+        )
+    )
+    expect = _reference(seg, contrib, G)
+    np.testing.assert_allclose(out[:G], expect[:G], rtol=1e-4, atol=1e-3)
+
+
+def test_blocked_selected_for_large_g(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    B, G = 40000, 20000
+    seg = np.sort(np.random.default_rng(0).integers(0, G, B))
+    plan = red.build_reduce_plan(seg, G)
+    assert plan.kind == "sorted_blocked"
+    assert plan.seg_block >= plan.maxp
+
+
+def test_blocked_apply_reduce_interpret(monkeypatch):
+    # Route apply_reduce through the blocked kernel in interpret mode.
+    from ceres_tpu.ops import pallas_segment as ps
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(11)
+    B, G = 20000, 15000
+    seg = np.sort(rng.integers(0, G, B))
+    plan = red.build_reduce_plan(seg, G)
+    assert plan.kind == "sorted_blocked"
+    orig = ps.segment_sum_sorted_blocked
+    monkeypatch.setattr(
+        ps,
+        "segment_sum_sorted_blocked",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    contrib = rng.standard_normal((B, 3)).astype(np.float32)
+    out = np.asarray(red.apply_reduce(plan, jnp.asarray(contrib)))
+    expect = _reference(seg, contrib, G)
+    np.testing.assert_allclose(out[:G], expect[:G], atol=1e-4)
