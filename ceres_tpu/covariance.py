@@ -29,6 +29,10 @@ import numpy as np
 from ceres_tpu.problem import Problem
 from ceres_tpu.types import CovarianceAlgorithmType
 
+# Above this tangent dimension the dense-J algorithms are infeasible and
+# the scalable paths (Schur marginals, matrix-free CG) take over.
+DENSE_COVARIANCE_MAX_TANGENT = 4096
+
 
 @dataclasses.dataclass
 class CovarianceOptions:
@@ -54,6 +58,8 @@ class Covariance:
         self._cov_tangent: Optional[np.ndarray] = None
         self._schur_cov: Optional[np.ndarray] = None
         self._schur_pos = None
+        self._mf_Z: Optional[np.ndarray] = None  # matrix-free columns (n, k)
+        self._mf_pos = None  # tangent coord -> column index in _mf_Z
         self._program = None
         self._problem = None
 
@@ -71,6 +77,11 @@ class Covariance:
         """
         from ceres_tpu.evaluator import Evaluator
 
+        self._cov_tangent = None
+        self._schur_cov = None
+        self._schur_pos = None
+        self._mf_Z = None
+        self._mf_pos = None
         self._problem = problem
         program = problem.program()
         self._program = program
@@ -83,12 +94,28 @@ class Covariance:
         # S^{-1} (points marginalized out) — computed from the reduced
         # camera system. The scalable BA covariance path (the reference
         # needs SuiteSparseQR of the full Jacobian here).
-        if program.num_tangent > 4096 or self._requested_schur(
+        if program.num_tangent > DENSE_COVARIANCE_MAX_TANGENT or self._requested_schur(
             covariance_blocks, program
         ):
             ok = self._compute_schur_marginals(
                 covariance_blocks, program, full
             )
+            if ok is not None:
+                return ok
+
+        # Scalable generic path: when the dense-J algorithms are
+        # infeasible (large tangent space) and specific blocks were
+        # requested, solve (J'J) z = e_k matrix-free per requested
+        # column with preconditioned CG — the reference computes only
+        # the requested sparsity with sparse QR
+        # (covariance_impl.cc:361,536-796); this is the O(nnz)-memory
+        # TPU analog.
+        if (
+            self.options.algorithm_type == CovarianceAlgorithmType.SPARSE_QR
+            and covariance_blocks
+            and program.num_tangent > DENSE_COVARIANCE_MAX_TANGENT
+        ):
+            ok = self._compute_matrix_free(covariance_blocks, program, full)
             if ok is not None:
                 return ok
 
@@ -216,6 +243,95 @@ class Covariance:
         }
         return True
 
+    def _compute_matrix_free(self, covariance_blocks, program, full):
+        """Scalable generic covariance: columns of inverse(J'J) via
+        Jacobi-preconditioned CG on the normal equations, matrix-free
+        (JacobianContext.normal_matvec) — O(nnz) memory, no dense J.
+        The TPU analog of the reference computing only the requested
+        covariance sparsity with sparse QR (covariance_impl.cc:361,536).
+        Returns True/False on success/failure, or None to fall through.
+        """
+        from ceres_tpu.linear.cg import CG_SUCCESS, conjugate_gradients
+
+        ctx = full.jacobian_context
+        n = program.num_tangent
+
+        # Union of tangent coords needed as columns (second block of each
+        # pair; rows come free because inverse(J'J) columns are full).
+        cols: List[int] = []
+        seen = set()
+        for p1, p2 in covariance_blocks:
+            s1, _ = self._tangent_slice(p1)
+            s2, _ = self._tangent_slice(p2)
+            if s1 is None or s2 is None:
+                continue  # constant block: zero covariance, no solve
+            for c in range(s2.start, s2.stop):
+                if c not in seen:
+                    seen.add(c)
+                    cols.append(c)
+        cols.sort()
+        if not cols:
+            self._mf_Z = np.zeros((n, 0))
+            self._mf_pos = {}
+            return True
+
+        d = np.asarray(ctx.squared_column_norms(), dtype=np.float64)
+        if not np.all(np.isfinite(d)) or np.any(d <= 0.0):
+            # A zero column of J means J'J is singular — the reference
+            # reports rank deficiency and fails (covariance_impl.cc:536).
+            return False
+        dtype = ctx.dtype
+        inv_d = jnp.asarray(1.0 / d, dtype=dtype)
+        max_iters = int(min(10 * n, 20_000))
+
+        def solve_one(e):
+            res = conjugate_gradients(
+                ctx.normal_matvec,
+                e,
+                preconditioner=lambda v: v * inv_d,
+                max_num_iterations=max_iters,
+                min_num_iterations=1,
+                r_tolerance=1e-10,
+                residual_reset_period=100,
+            )
+            return res.x, res.termination
+
+        solve_batch = jax.jit(jax.vmap(solve_one))
+
+        K = 8  # columns per batched CG solve
+        Z = np.zeros((n, len(cols)), dtype=np.float64)
+        for start in range(0, len(cols), K):
+            chunk = cols[start : start + K]
+            E = np.zeros((K, n), dtype=np.float64)
+            for j, c in enumerate(chunk):
+                E[j, c] = 1.0
+            xs, terms = solve_batch(jnp.asarray(E, dtype=dtype))
+            terms = np.asarray(terms)
+            if not np.all(terms[: len(chunk)] == CG_SUCCESS):
+                # CG breakdown/indefiniteness or no convergence: treat as
+                # rank deficiency like the reference's QR failure.
+                return False
+            Z[:, start : start + len(chunk)] = (
+                np.asarray(xs[: len(chunk)], dtype=np.float64).T
+            )
+        self._mf_Z = Z
+        self._mf_pos = {c: i for i, c in enumerate(cols)}
+        return True
+
+    def _block_from_mf(self, s1, s2):
+        pos = self._mf_pos
+        i2 = [pos.get(c) for c in range(s2.start, s2.stop)]
+        if all(i is not None for i in i2):
+            return self._mf_Z[s1, :][:, i2].copy()
+        # Symmetric fallback: the transposed pair was requested.
+        i1 = [pos.get(c) for c in range(s1.start, s1.stop)]
+        if all(i is not None for i in i1):
+            return self._mf_Z[s2, :][:, i1].T.copy()
+        raise RuntimeError(
+            "matrix-free covariance holds only block pairs passed to "
+            "compute(); request this pair in covariance_blocks"
+        )
+
     # -- block access --------------------------------------------------------
 
     def _tangent_slice(self, pid: int):
@@ -243,28 +359,40 @@ class Covariance:
         self, pid1: int, pid2: int
     ) -> np.ndarray:
         """covariance.h GetCovarianceBlockInTangentSpace."""
-        if self._cov_tangent is None and self._schur_cov is None:
+        if (
+            self._cov_tangent is None
+            and self._schur_cov is None
+            and self._mf_Z is None
+        ):
             raise RuntimeError("call compute() first")
         s1, rec1 = self._tangent_slice(pid1)
         s2, rec2 = self._tangent_slice(pid2)
         if s1 is None or s2 is None:
             return np.zeros((rec1.tangent_size, rec2.tangent_size))
-        if self._cov_tangent is None:
+        if self._cov_tangent is not None:
+            return self._cov_tangent[s1, s2].copy()
+        if self._schur_cov is not None:
             return self._block_from_schur(s1, s2, rec1, rec2)
-        return self._cov_tangent[s1, s2].copy()
+        return self._block_from_mf(s1, s2)
 
     def get_covariance_block(self, pid1: int, pid2: int) -> np.ndarray:
         """Ambient-space block: J_plus C J_plus' (covariance_impl.cc:129)."""
-        if self._cov_tangent is None and self._schur_cov is None:
+        if (
+            self._cov_tangent is None
+            and self._schur_cov is None
+            and self._mf_Z is None
+        ):
             raise RuntimeError("call compute() first")
         s1, rec1 = self._tangent_slice(pid1)
         s2, rec2 = self._tangent_slice(pid2)
         if s1 is None or s2 is None:
             return np.zeros((rec1.size, rec2.size))
-        if self._cov_tangent is None:
+        if self._cov_tangent is not None:
+            C = self._cov_tangent[s1, s2]
+        elif self._schur_cov is not None:
             C = self._block_from_schur(s1, s2, rec1, rec2)
         else:
-            C = self._cov_tangent[s1, s2]
+            C = self._block_from_mf(s1, s2)
 
         def lift(rec):
             if rec.manifold is None:
