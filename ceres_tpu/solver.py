@@ -145,28 +145,28 @@ class SolverOptions:
     num_threads: int = 1  # accepted for API parity; ignored on TPU
 
     def validate(self, num_tangent: int) -> Optional[str]:
-        """Cross-validation analog of Solver::Options::IsValid (solver.cc:714)."""
-        positive = [
-            ("function_tolerance", self.function_tolerance),
-            ("gradient_tolerance", self.gradient_tolerance),
-            ("parameter_tolerance", self.parameter_tolerance),
-            ("initial_trust_region_radius", self.initial_trust_region_radius),
-            ("max_trust_region_radius", self.max_trust_region_radius),
-            ("min_lm_diagonal", self.min_lm_diagonal),
-            ("max_lm_diagonal", self.max_lm_diagonal),
-            ("eta", self.eta),
-        ]
-        for name, v in positive:
-            if v <= 0:
-                return f"{name} must be > 0, got {v}"
-        if self.max_num_iterations < 0:
-            return "max_num_iterations must be >= 0"
-        if self.min_trust_region_radius <= 0:
-            return "min_trust_region_radius must be > 0"
-        if self.min_lm_diagonal > self.max_lm_diagonal:
-            return "min_lm_diagonal > max_lm_diagonal"
-        if self.min_relative_decrease <= 0:
-            return "min_relative_decrease must be > 0"
+        """Cross-validation analog of Solver::Options::IsValid
+        (solver.cc:714, CommonOptionsAreValid / TrustRegionOptionsAreValid /
+        LineSearchOptionsAreValid / OptionsAreValidForLinearSolver,
+        solver.cc:99-452). One documented divergence:
+        ``use_mixed_precision_solves`` is valid with EVERY linear solver
+        here (the refinement wrapper is generic normal-equation f64
+        refinement, trust_region.py:_linear_solve), where the reference
+        rejects it for DENSE_QR / CGNR / ITERATIVE_SCHUR because its
+        backends lack single-precision paths."""
+        err = self._validate_common()
+        if err is not None:
+            return err
+        if self.minimizer_type == MinimizerType.TRUST_REGION:
+            err = self._validate_trust_region()
+            if err is not None:
+                return err
+        # Line-search options are checked for BOTH minimizer types: a
+        # bounds-constrained trust-region solve uses the line search for
+        # the projection onto the box (solver.cc:724-729).
+        err = self._validate_line_search()
+        if err is not None:
+            return err
         if self.evaluation_dtype is not None and self.evaluation_dtype not in (
             "float32",
             "float64",
@@ -175,6 +175,184 @@ class SolverOptions:
                 "evaluation_dtype must be 'float32' or 'float64', got "
                 f"{self.evaluation_dtype!r} (lower precisions lack the "
                 "factorization kernels)"
+            )
+        return None
+
+    def _validate_common(self) -> Optional[str]:
+        """CommonOptionsAreValid (solver.cc:99-111)."""
+        for name, v, lo in (
+            ("max_num_iterations", self.max_num_iterations, 0),
+            ("max_solver_time_in_seconds", self.max_solver_time_in_seconds, 0.0),
+            ("function_tolerance", self.function_tolerance, 0.0),
+            ("gradient_tolerance", self.gradient_tolerance, 0.0),
+            ("parameter_tolerance", self.parameter_tolerance, 0.0),
+        ):
+            if v < lo:
+                return f"{name} must be >= {lo}, got {v}"
+        if self.num_threads <= 0:
+            return "num_threads must be > 0"
+        if self.check_gradients:
+            if self.gradient_check_relative_precision <= 0:
+                return "gradient_check_relative_precision must be > 0"
+            if self.gradient_check_numeric_derivative_relative_step_size <= 0:
+                return (
+                    "gradient_check_numeric_derivative_relative_step_size "
+                    "must be > 0"
+                )
+        return None
+
+    def _validate_trust_region(self) -> Optional[str]:
+        """TrustRegionOptionsAreValid (solver.cc:405-452)."""
+        for name, v in (
+            ("initial_trust_region_radius", self.initial_trust_region_radius),
+            ("min_trust_region_radius", self.min_trust_region_radius),
+            ("max_trust_region_radius", self.max_trust_region_radius),
+            ("eta", self.eta),
+        ):
+            if v <= 0:
+                return f"{name} must be > 0, got {v}"
+        if self.min_trust_region_radius > self.max_trust_region_radius:
+            return "min_trust_region_radius > max_trust_region_radius"
+        if self.min_trust_region_radius > self.initial_trust_region_radius:
+            return "min_trust_region_radius > initial_trust_region_radius"
+        if self.initial_trust_region_radius > self.max_trust_region_radius:
+            return "initial_trust_region_radius > max_trust_region_radius"
+        if self.min_relative_decrease < 0:
+            return "min_relative_decrease must be >= 0"
+        if self.min_lm_diagonal < 0 or self.max_lm_diagonal < 0:
+            return "min/max_lm_diagonal must be >= 0"
+        if self.min_lm_diagonal > self.max_lm_diagonal:
+            return "min_lm_diagonal > max_lm_diagonal"
+        if self.max_num_consecutive_invalid_steps < 0:
+            return "max_num_consecutive_invalid_steps must be >= 0"
+        if self.min_linear_solver_iterations < 0:
+            return "min_linear_solver_iterations must be >= 0"
+        if self.max_linear_solver_iterations < 0:
+            return "max_linear_solver_iterations must be >= 0"
+        if self.min_linear_solver_iterations > self.max_linear_solver_iterations:
+            return "min_linear_solver_iterations > max_linear_solver_iterations"
+        if self.use_inner_iterations and self.inner_iteration_tolerance < 0:
+            return "inner_iteration_tolerance must be >= 0"
+        if (
+            self.use_nonmonotonic_steps
+            and self.max_consecutive_nonmonotonic_steps <= 0
+        ):
+            return "max_consecutive_nonmonotonic_steps must be > 0"
+        lst = self.linear_solver_type
+        if (
+            self.trust_region_strategy_type == TrustRegionStrategyType.DOGLEG
+            and lst in (LinearSolverType.CGNR, LinearSolverType.ITERATIVE_SCHUR)
+        ):
+            return (
+                "DOGLEG only supports exact factorization based linear "
+                "solvers; use LEVENBERG_MARQUARDT with iterative solvers "
+                "(solver.cc:431-438)"
+            )
+        if (
+            self.trust_region_minimizer_iterations_to_dump
+            and not self.trust_region_problem_dump_directory
+        ):
+            return "trust_region_problem_dump_directory is empty"
+        return self._validate_linear_solver()
+
+    def _validate_linear_solver(self) -> Optional[str]:
+        """OptionsAreValidForLinearSolver (solver.cc:377-403) adapted to
+        the TPU backend set (no vendor sparse libraries: every solver is
+        always 'built')."""
+        lst = self.linear_solver_type
+        pt = self.preconditioner_type
+        if self.dynamic_sparsity and lst not in (
+            None,
+            LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+        ):
+            return (
+                "dynamic sparsity is only supported with "
+                "SPARSE_NORMAL_CHOLESKY"
+            )
+        if lst == LinearSolverType.CGNR:
+            if pt not in (
+                PreconditionerType.IDENTITY,
+                PreconditionerType.JACOBI,
+                PreconditionerType.SUBSET,
+            ):
+                return f"Can't use CGNR with preconditioner_type = {pt.name}"
+        if lst == LinearSolverType.ITERATIVE_SCHUR:
+            if pt == PreconditionerType.SUBSET:
+                return "Can't use SUBSET preconditioner with ITERATIVE_SCHUR"
+            if self.use_explicit_schur_complement:
+                if pt != PreconditionerType.SCHUR_JACOBI:
+                    return (
+                        "use_explicit_schur_complement only supports "
+                        "SCHUR_JACOBI as the preconditioner"
+                    )
+                if self.use_spse_initialization:
+                    return (
+                        "use_explicit_schur_complement does not support "
+                        "use_spse_initialization"
+                    )
+            if (
+                self.use_spse_initialization
+                or pt == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
+            ):
+                if self.max_num_spse_iterations < 1:
+                    return "max_num_spse_iterations must be >= 1"
+                if self.spse_tolerance < 0:
+                    return "spse_tolerance must be >= 0"
+        if pt == PreconditionerType.SUBSET and not (
+            self.residual_blocks_for_subset_preconditioner
+        ):
+            return (
+                "When using SUBSET preconditioner, "
+                "residual_blocks_for_subset_preconditioner cannot be empty"
+            )
+        return None
+
+    def _validate_line_search(self) -> Optional[str]:
+        """LineSearchOptionsAreValid (solver.cc:454-503)."""
+        if self.max_lbfgs_rank <= 0:
+            return "max_lbfgs_rank must be > 0"
+        if self.min_line_search_step_size <= 0:
+            return "min_line_search_step_size must be > 0"
+        if not (0.0 < self.max_line_search_step_contraction < 1.0):
+            return "max_line_search_step_contraction must be in (0, 1)"
+        if not (
+            self.max_line_search_step_contraction
+            < self.min_line_search_step_contraction
+            <= 1.0
+        ):
+            return (
+                "require max_line_search_step_contraction < "
+                "min_line_search_step_contraction <= 1"
+            )
+        min_ls_iters = (
+            0 if self.minimizer_type == MinimizerType.TRUST_REGION else 1
+        )
+        if self.max_num_line_search_step_size_iterations < min_ls_iters:
+            return (
+                "max_num_line_search_step_size_iterations must be >= "
+                f"{min_ls_iters}"
+            )
+        if self.line_search_sufficient_function_decrease <= 0:
+            return "line_search_sufficient_function_decrease must be > 0"
+        if not (
+            self.line_search_sufficient_function_decrease
+            < self.line_search_sufficient_curvature_decrease
+            < 1.0
+        ):
+            return (
+                "require line_search_sufficient_function_decrease < "
+                "line_search_sufficient_curvature_decrease < 1"
+            )
+        if self.max_line_search_step_expansion <= 1.0:
+            return "max_line_search_step_expansion must be > 1"
+        if (
+            self.line_search_direction_type
+            in (LineSearchDirectionType.BFGS, LineSearchDirectionType.LBFGS)
+            and self.line_search_type != LineSearchType.WOLFE
+        ):
+            return (
+                "When using (L)BFGS, line_search_type must be WOLFE "
+                "(solver.cc:471-484)"
             )
         return None
 
@@ -312,16 +490,22 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         summary.message = f"Invalid options: {err}"
         return summary
 
-    if program.num_tangent == 0:
-        # All blocks constant: nothing to optimize (solver.cc handles this
-        # by returning the fixed cost).
-        from ceres_tpu.evaluator import Evaluator
+    if program.num_tangent == 0 or program.num_residuals() == 0:
+        # All blocks constant / no residual blocks: nothing to optimize
+        # (solver.cc:795-812; the reference terminates with CONVERGENCE
+        # and the message below, solver_test.cc:235-327).
+        c = program.fixed_cost
+        if program.num_residuals() > 0:
+            from ceres_tpu.evaluator import Evaluator
 
-        ev = Evaluator(program)
-        c = float(ev.cost(program.initial_ambient())) + program.fixed_cost
+            ev = Evaluator(program)
+            c += float(ev.cost(program.initial_ambient()))
         summary.initial_cost = summary.final_cost = c
         summary.termination_type = TerminationType.CONVERGENCE
-        summary.message = "No effective parameters; problem is constant."
+        summary.message = (
+            "Function tolerance reached. "
+            "No non-constant parameter blocks found."
+        )
         summary.total_time_in_seconds = time.time() - total_t0
         return summary
 

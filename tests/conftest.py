@@ -7,23 +7,62 @@ xla_force_host_platform_device_count=8 virtual CPU devices.
 Note: the environment's sitecustomize imports jax at interpreter startup
 with JAX_PLATFORMS=axon, so the env var alone is too late — we must also
 flip the already-imported config.
+
+TPU mode (the analog of the reference's CUDA-vs-CPU equivalence tests,
+cuda_dense_cholesky_test.cc / cuda_vector_test.cc): set
+``CERES_TPU_TESTS=1`` to leave the real accelerator platform active and
+run the curated device subset, e.g.
+
+    CERES_TPU_TESTS=1 python -m pytest tests/ -q -m tpu
+
+Tests that require the 8-device virtual CPU mesh are marked
+``needs_mesh`` and auto-skip in TPU mode.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_TPU_MODE = os.environ.get("CERES_TPU_TESTS", "") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # Persistent compile cache: TPU compiles cost 20-40s each through
+    # the tunnel; cache them across runs.
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: curated subset meant to run on the real TPU "
+        "(CERES_TPU_TESTS=1 pytest -m tpu)")
+    config.addinivalue_line(
+        "markers", "needs_mesh: requires the 8-device virtual CPU mesh; "
+        "skipped in TPU mode")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _TPU_MODE:
+        skip_mesh = pytest.mark.skip(
+            reason="needs 8-device virtual CPU mesh; running on 1 TPU chip")
+        for item in items:
+            if "needs_mesh" in item.keywords:
+                item.add_marker(skip_mesh)
 
 
 @pytest.fixture(autouse=True, scope="module")

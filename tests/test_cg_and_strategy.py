@@ -184,3 +184,114 @@ def test_lm_acceptance_resets_decrease_factor():
     s.step_accepted(0.5)
     s.step_rejected(0.0)  # factor back to 2
     assert s.radius == pytest.approx(1.0)  # 16/2/4 = 2, then /2 = 1
+
+
+# --- CG termination-path coverage (VERDICT r2 item #9) ----------------------
+# Every exit of conjugate_gradients (linear/cg.py): trivial-rhs, r-tol,
+# q-tol, iteration cap, warm-start-already-converged, min-iteration floor,
+# residual refresh, rho breakdown, indefiniteness, non-finite operator.
+
+
+def test_cg_reference_3x3_symmetric_fixture():
+    """Exact port of conjugate_gradients_solver_test.cc:90-160 (same A, b,
+    warm start x0=1, r_tolerance 1e-9)."""
+    A = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, -1.0], [0.0, -1.0, 2.0]])
+    b = np.array([-1.0, 0.0, 3.0])
+    res = conjugate_gradients(
+        _op(A), jnp.asarray(b), x0=jnp.ones(3),
+        min_num_iterations=1, max_num_iterations=10,
+        residual_reset_period=20, q_tolerance=0.0, r_tolerance=1e-9,
+    )
+    assert int(res.termination) == CG_SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-8)
+
+
+def test_cg_min_iterations_floor():
+    """min_num_iterations forbids the r-tolerance exit before the floor:
+    a loose r_tolerance that would exit at iteration 1 must still run 3
+    iterations when min_num_iterations=3."""
+    A = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, -1.0], [0.0, -1.0, 2.0]])
+    b = np.array([-1.0, 0.0, 3.0])
+    loose = conjugate_gradients(
+        _op(A), jnp.asarray(b), min_num_iterations=1, max_num_iterations=10,
+        r_tolerance=0.9,
+    )
+    floored = conjugate_gradients(
+        _op(A), jnp.asarray(b), min_num_iterations=3, max_num_iterations=10,
+        r_tolerance=0.9,
+    )
+    assert int(loose.num_iterations) == 1
+    assert int(floored.num_iterations) == 3
+    assert int(floored.termination) == CG_SUCCESS
+
+
+def test_cg_warm_start_already_converged():
+    """x0 = exact solution and min_num_iterations=0: the pre-loop check
+    exits with 0 iterations (conjugate_gradients_solver.h early exit)."""
+    A = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, -1.0], [0.0, -1.0, 2.0]])
+    b = np.array([-1.0, 0.0, 3.0])
+    xstar = np.linalg.solve(A, b)
+    res = conjugate_gradients(
+        _op(A), jnp.asarray(b), x0=jnp.asarray(xstar),
+        min_num_iterations=0, r_tolerance=1e-8,
+    )
+    assert int(res.num_iterations) == 0
+    assert int(res.termination) == CG_SUCCESS
+
+
+def test_cg_residual_refresh_still_converges():
+    """A long solve with residual_reset_period=3 (refresh every 3 iters,
+    conjugate_gradients_solver.h:222-237) reaches the same answer."""
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((24, 24))
+    A = M @ M.T + 1e-2 * np.eye(24)
+    b = rng.standard_normal(24)
+    res = conjugate_gradients(
+        _op(A), jnp.asarray(b), r_tolerance=1e-10, max_num_iterations=200,
+        residual_reset_period=3,
+    )
+    assert int(res.termination) == CG_SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_cg_rho_breakdown_reports_failure():
+    """A zero preconditioner makes rho = r'z = 0 on the first iteration —
+    the rho-breakdown guard must exit with FAILURE, not NaN."""
+    A = np.array([[2.0, -1.0], [-1.0, 2.0]])
+    res = conjugate_gradients(
+        _op(A), jnp.asarray([1.0, 1.0]),
+        preconditioner=lambda v: jnp.zeros_like(v),
+        max_num_iterations=5, r_tolerance=1e-10,
+    )
+    assert int(res.termination) == CG_FAILURE
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_cg_nonfinite_operator_reports_failure():
+    """An operator returning +inf must trip the pq/alpha guards and exit
+    FAILURE with the previous (finite) iterate retained."""
+    def bad_op(v):
+        return jnp.full_like(v, jnp.inf)
+
+    res = conjugate_gradients(
+        bad_op, jnp.asarray([1.0, 2.0]), max_num_iterations=5,
+        r_tolerance=1e-10,
+    )
+    assert int(res.termination) == CG_FAILURE
+
+
+def test_cg_q_and_r_disabled_runs_to_cap():
+    """q_tolerance=0 and r_tolerance=-1 disable both convergence tests:
+    the loop runs exactly max_num_iterations and reports NO_CONVERGENCE."""
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((16, 16))
+    A = M @ M.T + 1e-3 * np.eye(16)
+    b = rng.standard_normal(16)
+    res = conjugate_gradients(
+        _op(A), jnp.asarray(b), q_tolerance=0.0, r_tolerance=-1.0,
+        max_num_iterations=4,
+    )
+    assert int(res.num_iterations) == 4
+    assert int(res.termination) == CG_NO_CONVERGENCE

@@ -121,6 +121,8 @@ from ceres_tpu.ops.pallas_segment import (
     segment_sum_sorted_blocked,
 )
 
+pytestmark = pytest.mark.tpu  # curated real-device subset (CERES_TPU_TESTS=1)
+
 
 @pytest.mark.parametrize(
     "B,G,d,seg_block",

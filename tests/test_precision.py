@@ -13,6 +13,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.models import bal
 
+pytestmark = pytest.mark.tpu  # curated real-device subset (CERES_TPU_TESTS=1)
+
 
 @pytest.fixture(scope="module")
 def instance():

@@ -14,6 +14,8 @@ import pytest
 
 from ceres_tpu import rotation as rot
 
+pytestmark = pytest.mark.tpu  # curated real-device subset (CERES_TPU_TESTS=1)
+
 # Angle grid straddling both singularities (rotation_test.cc's
 # kNumTrials loops with theta near 0 and near pi).
 ANGLES = [

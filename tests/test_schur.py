@@ -21,6 +21,8 @@ from ceres_tpu.linear.schur import (
 )
 from ceres_tpu.models import bal
 
+pytestmark = pytest.mark.tpu  # curated real-device subset (CERES_TPU_TESTS=1)
+
 
 def _small_bal(seed=0, C=4, P=40, O=120):
     prob = bal.synthesize_bal(

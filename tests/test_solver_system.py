@@ -11,6 +11,8 @@ import pytest
 
 import ceres_tpu as ct
 
+pytestmark = pytest.mark.tpu  # curated real-device subset (CERES_TPU_TESTS=1)
+
 
 def _solve_powell(linear_solver, **kw):
     """Powell's singular function (system_test.cc:30-110)."""
