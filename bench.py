@@ -239,9 +239,88 @@ def run_scipy_baseline(prob, timeout_s=3600.0):
     }
 
 
+# --- large-problem throughput metric (VERDICT r2 item #2) -------------------
+# >=256 cameras / >=200k points / >=1M observations, f32 fused LM. The
+# reference benchmarks this class via evaluation_benchmark.cc:242-780 on
+# BAL instances. DENSE_SCHUR uses the scatter-free one-pass explicit
+# eliminator + an MXU Cholesky of the 4176^2 reduced camera system.
+LARGE_C, LARGE_P, LARGE_O = 464, 200_000, 1_200_000
+
+
+def large_flops_model(num_obs, nf, num_iters, lin_iters):
+    """Useful-FLOP model for the large DENSE_SCHUR solve: evaluation
+    (16 residual passes x ~90 flops + 200 reduction flops per obs),
+    explicit S assembly (F'F 9x9 pair blocks + W'M^-1W correction per
+    observation pair ~ 2*81*(3+3) flops/pair, pairs ~= 6x obs for 6
+    obs/point), one nf^3/3 Cholesky + 2 nf^2 triangular solves per
+    iteration, and back-substitution (~500 flops/obs)."""
+    eval_f = num_obs * (16 * 90 + 200)
+    pairs = 6 * num_obs
+    assemble_f = num_obs * 2 * 81 * 3 + pairs * 2 * 81 * 6
+    chol_f = nf**3 / 3 + 2 * nf**2
+    backsub_f = num_obs * 500
+    return num_iters * (eval_f + assemble_f + chol_f + backsub_f)
+
+
+def run_large(seed=7):
+    import dataclasses
+
+    from ceres_tpu.fused_lm import fused_solve
+    from ceres_tpu.models import bal
+
+    prob = bal.synthesize_bal(
+        num_cameras=LARGE_C,
+        num_points=LARGE_P,
+        num_observations=LARGE_O,
+        noise=2.0,
+        perturb=0.7,
+        seed=seed,
+    )
+    problem, _, _ = bal.build_problem(prob)
+    opts = bal.default_options(iterative=False)  # DENSE_SCHUR
+    opts.max_num_iterations = 50
+    opts.function_tolerance = 1e-9
+    opts.evaluation_dtype = "float32"
+
+    warm = dataclasses.replace(opts, max_num_iterations=0)
+    t0 = time.time()
+    fused_solve(warm, problem)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    summary = fused_solve(opts, problem)
+    solve_s = time.time() - t0
+    iters = len(summary.iterations)
+    nf = 9 * LARGE_C
+    mfu = (
+        large_flops_model(LARGE_O, nf, iters,
+                          summary.num_linear_solver_iterations)
+        / max(solve_s, 1e-9)
+        / PEAK_F32_FLOPS
+    )
+    return {
+        "solve_s": round(solve_s, 3),
+        "s_per_iter": round(solve_s / max(iters, 1), 4),
+        "compile_s": round(compile_s, 1),
+        "iterations": iters,
+        "initial_cost": summary.initial_cost,
+        "final_cost": summary.final_cost,
+        "termination": str(summary.termination_type),
+        "mfu_pct": round(100 * mfu, 3),
+        "workload": f"BAL {LARGE_C}cam/{LARGE_P}pt/{LARGE_O}obs "
+                    "fused LM + DENSE_SCHUR (explicit one-pass + MXU "
+                    "Cholesky), f32",
+    }
+
+
 def main():
     prob = build_instance()
     ours = run_ceres_tpu(prob)
+    large = None
+    try:
+        large = run_large()
+    except Exception as e:  # keep the headline metric alive regardless
+        large = {"error": f"{type(e).__name__}: {e}"}
 
     base = None
     if CACHE.exists():
@@ -266,8 +345,13 @@ def main():
                 "detail": {
                     "ours": ours,
                     "baseline": base,
+                    "large_problem": large,
                     "note": "vs_baseline = baseline_s/ours_s (>1 = faster); "
-                    "baseline is scipy TRF sparse CPU on this host; "
+                    "baseline is scipy TRF sparse CPU on this host (the "
+                    "reference C++ Ceres cannot be built here: Eigen is "
+                    "absent and there is no network egress — see "
+                    "BASELINE.md); NIST parity vs Ceres-certified values "
+                    "is enforced separately in tests/test_nist_full.py; "
                     "mfu/hbm models documented in bench.py",
                 },
             }

@@ -53,6 +53,18 @@ class FtFPart:
     plan_lowt: Optional[ReducePlan]
     rows_lowt: Optional[jax.Array]  # coords for X^T placed at (p2, p1)
     cols_lowt: Optional[jax.Array]
+    # Gather-placement alternative (see assemble_reduced_system): for
+    # each kind, an (n1, n2) int32 grid mapping (row-block, col-block)
+    # ordinals within the size-grouped basis to a cell index (dummy = C),
+    # plus the static rectangle offset in the grouped S. XLA scatters
+    # execute near-serially on TPU; a grid GATHER + static-offset
+    # dynamic-update-slice places the same blocks at memory speed.
+    inv_diag: Optional[jax.Array] = None
+    inv_low: Optional[jax.Array] = None
+    inv_lowt: Optional[jax.Array] = None
+    offs_diag: Optional[Tuple[int, int]] = None
+    offs_low: Optional[Tuple[int, int]] = None
+    offs_lowt: Optional[Tuple[int, int]] = None
 
 
 jax.tree_util.register_dataclass(
@@ -61,8 +73,9 @@ jax.tree_util.register_dataclass(
         "plan_diag", "rows_diag", "cols_diag",
         "plan_low", "rows_low", "cols_low",
         "plan_lowt", "rows_lowt", "cols_lowt",
+        "inv_diag", "inv_low", "inv_lowt",
     ],
-    meta_fields=["fi", "j1", "j2"],
+    meta_fields=["fi", "j1", "j2", "offs_diag", "offs_low", "offs_lowt"],
 )
 
 
@@ -83,12 +96,14 @@ class CorrCells:
     b_idx: jax.Array  # (C, K) int32 into T2 slot space (pad = N2)
     rows: jax.Array  # (C, T1) reduced row coordinates
     cols: jax.Array  # (C, T2) reduced col coordinates
+    inv_map: Optional[jax.Array] = None  # (n1, n2) grid -> cell (dummy=C)
+    offs: Optional[Tuple[int, int]] = None  # grouped-basis rect offset
 
 
 jax.tree_util.register_dataclass(
     CorrCells,
-    data_fields=["a_idx", "b_idx", "rows", "cols"],
-    meta_fields=["T1", "T2", "diagonal"],
+    data_fields=["a_idx", "b_idx", "rows", "cols", "inv_map"],
+    meta_fields=["T1", "T2", "diagonal", "offs"],
 )
 
 
@@ -100,12 +115,20 @@ class ExplicitSchurPlan:
     ftf: Tuple[FtFPart, ...]
     corr: Tuple[CorrCells, ...]
     f_reduced: jax.Array  # (num_tangent+1,) tangent coord -> reduced (or nf)
+    # Gather-placement support: assembly happens in a size-grouped
+    # permutation of the reduced basis (all f-blocks of one tangent size
+    # contiguous); g_of_r maps reduced coord -> grouped coord. When
+    # grid_ok every scatter site carries an inv_map and assembly is
+    # scatter-free; grouped_identity skips the final unpermute.
+    g_of_r: Optional[jax.Array] = None
+    grid_ok: bool = False
+    grouped_identity: bool = True
 
 
 jax.tree_util.register_dataclass(
     ExplicitSchurPlan,
-    data_fields=["ftf", "corr", "f_reduced"],
-    meta_fields=["nf", "slot_args"],
+    data_fields=["ftf", "corr", "f_reduced", "g_of_r"],
+    meta_fields=["nf", "slot_args", "grid_ok", "grouped_identity"],
 )
 
 
@@ -119,9 +142,15 @@ def _host_pos(ss, fi, j=None):
     h = getattr(ss, "_host_f_pos", None)
     return h[fi][j] if h is not None else np.asarray(ss.f_pos[fi][j])
 
+# Cap on the transient (n1, n2, T1, T2) gather grid used by the
+# scatter-free placement (elements; 64M f32 = 256 MB). Above it the
+# legacy scatter path assembles that plan.
+GRID_MAX_ELEMS = 64_000_000
+
+
 def _cells_from_pairs(keys, rows_of, cols_of, T1, T2):
     """keys: list of (p1, p2) cell keys per item; returns (cell_ids,
-    ordered unique cells, rows, cols matrices)."""
+    ordered unique cells, rows, cols matrices, uniq dict)."""
     uniq: Dict[Tuple[int, int], int] = {}
     ids = np.empty(len(keys), dtype=np.int64)
     for i, k in enumerate(keys):
@@ -134,7 +163,18 @@ def _cells_from_pairs(keys, rows_of, cols_of, T1, T2):
     for (p1, p2), c in uniq.items():
         rows[c] = rows_of(p1)
         cols[c] = cols_of(p2)
-    return ids, C, rows, cols
+    return ids, C, rows, cols, uniq
+
+
+def _grid_inverse(uniq, n1, n2, T1, T2):
+    """(n1, n2) int32 grid mapping block ordinals to cell ids (dummy =
+    len(uniq)); None when the grid exceeds GRID_MAX_ELEMS."""
+    if n1 * n2 * T1 * T2 > GRID_MAX_ELEMS:
+        return None
+    inv = np.full((n1, n2), len(uniq), dtype=np.int32)
+    for (p1, p2), c in uniq.items():
+        inv[p1, p2] = c
+    return jnp.asarray(inv)
 
 
 def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
@@ -155,6 +195,37 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
 
     def start(T, pos):
         return int(f_reduced[f_groups[T][pos][0]])
+
+    # Size-grouped basis for scatter-free placement: the ACTIVE (all
+    # tangent coords in the reduced f space — constant blocks excluded)
+    # f-blocks of one tangent size packed contiguously, ordered by group
+    # position. ordinal_of_pos maps a group position to its packed
+    # ordinal (-1 = inactive).
+    size_row_off: Dict[int, int] = {}
+    num_active: Dict[int, int] = {}
+    ordinal_of_pos: Dict[int, np.ndarray] = {}
+    g_of_r = np.full(nf, -1, dtype=np.int32)
+    _off = 0
+    for T in sorted(f_groups):
+        red = f_reduced[f_groups[T]]  # (G, T) reduced coords per block
+        G = red.shape[0]
+        active = np.all(red < nf, axis=1) if G else np.zeros(0, bool)
+        ords = np.full(G, -1, dtype=np.int32)
+        ords[active] = np.arange(int(active.sum()), dtype=np.int32)
+        ordinal_of_pos[T] = ords
+        size_row_off[T] = _off
+        nA = int(active.sum())
+        num_active[T] = nA
+        gro = _off + (
+            ords[active][:, None].astype(np.int64) * T
+            + np.arange(T, dtype=np.int64)[None, :]
+        )
+        g_of_r[red[active]] = gro
+        _off += nA * T
+    grid_allowed = _off == nf and not np.any(g_of_r < 0)
+    grouped_identity = grid_allowed and bool(
+        np.array_equal(g_of_r, np.arange(nf, dtype=np.int32))
+    )
 
     # ---- F'F cells -------------------------------------------------------
     ftf_parts: List[FtFPart] = []
@@ -192,20 +263,38 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 def make(kind, key_fn, Ta, Tb, rows_of, cols_of):
                     sel = np.nonzero(kinds == kind)[0]
                     if sel.size == 0:
-                        return None, None, None
+                        return None, None, None, None, None
                     keys = [key_fn(b) for b in sel]
-                    ids, C, rows, cols = _cells_from_pairs(
+                    ids, C, rows, cols, uniq = _cells_from_pairs(
                         keys, rows_of, cols_of, Ta, Tb
                     )
                     seg = np.full(B, C, dtype=np.int64)
                     seg[sel] = ids
+                    # Grid inverse over ACTIVE block ordinals for the
+                    # scatter-free placement.
+                    inv = offs = None
+                    if grid_allowed:
+                        oa, ob = ordinal_of_pos[Ta], ordinal_of_pos[Tb]
+                        ord_uniq = {
+                            (int(oa[pa]), int(ob[pb])): c
+                            for (pa, pb), c in uniq.items()
+                        }
+                        if all(a >= 0 and b >= 0 for a, b in ord_uniq):
+                            inv = _grid_inverse(
+                                ord_uniq, num_active[Ta], num_active[Tb],
+                                Ta, Tb,
+                            )
+                            if inv is not None:
+                                offs = (size_row_off[Ta], size_row_off[Tb])
                     return (
                         build_reduce_plan(seg, C),
                         jnp.asarray(rows),
                         jnp.asarray(cols),
+                        inv,
+                        offs,
                     )
 
-                plan_d, rows_d, cols_d = make(
+                plan_d, rows_d, cols_d, inv_d, offs_d = make(
                     0,
                     lambda b: (int(p1[b]), int(p2[b])),
                     T1,
@@ -213,7 +302,7 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                     lambda p: reduced_coords(T1, p),
                     lambda p: reduced_coords(T2, p),
                 )
-                plan_l, rows_l, cols_l = make(
+                plan_l, rows_l, cols_l, inv_l, offs_l = make(
                     1,
                     lambda b: (int(p1[b]), int(p2[b])),
                     T1,
@@ -222,7 +311,7 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                     lambda p: reduced_coords(T2, p),
                 )
                 # transposed: X^T goes to cell (p2, p1) (strict lower).
-                plan_t, rows_t, cols_t = make(
+                plan_t, rows_t, cols_t, inv_t, offs_t = make(
                     2,
                     lambda b: (int(p2[b]), int(p1[b])),
                     T2,
@@ -246,6 +335,12 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                         plan_lowt=plan_t,
                         rows_lowt=rows_t,
                         cols_lowt=cols_t,
+                        inv_diag=inv_d,
+                        inv_low=inv_l,
+                        inv_lowt=inv_t,
+                        offs_diag=offs_d,
+                        offs_low=offs_l,
+                        offs_lowt=offs_t,
                     )
                 )
 
@@ -332,12 +427,23 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
         b_idx = np.full((C, K), N2, dtype=np.int32)
         rows = np.empty((C, T1), dtype=np.int32)
         cols = np.empty((C, T2), dtype=np.int32)
+        ord_uniq: Dict[Tuple[int, int], int] = {}
         for c, ((p1, p2), pairs) in enumerate(cells.items()):
             for k, (sa, sb) in enumerate(pairs):
                 a_idx[c, k] = sa
                 b_idx[c, k] = sb
             rows[c] = reduced_coords(T1, p1)
             cols[c] = reduced_coords(T2, p2)
+            o1 = int(ordinal_of_pos[T1][p1])
+            o2 = int(ordinal_of_pos[T2][p2])
+            ord_uniq[(o1, o2)] = c
+        inv = offs = None
+        if grid_allowed and all(a >= 0 and b >= 0 for a, b in ord_uniq):
+            inv = _grid_inverse(
+                ord_uniq, num_active[T1], num_active[T2], T1, T2
+            )
+            if inv is not None:
+                offs = (size_row_off[T1], size_row_off[T2])
         corr.append(
             CorrCells(
                 T1=T1,
@@ -347,8 +453,21 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 b_idx=jnp.asarray(b_idx),
                 rows=jnp.asarray(rows),
                 cols=jnp.asarray(cols),
+                inv_map=inv,
+                offs=offs,
             )
         )
+
+    grid_ok = (
+        grid_allowed
+        and all(
+            (p.plan_diag is None or p.inv_diag is not None)
+            and (p.plan_low is None or p.inv_low is not None)
+            and (p.plan_lowt is None or p.inv_lowt is not None)
+            for p in ftf_parts
+        )
+        and all(cc.inv_map is not None for cc in corr)
+    )
 
     return ExplicitSchurPlan(
         nf=nf,
@@ -358,6 +477,9 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
         ftf=tuple(ftf_parts),
         corr=tuple(corr),
         f_reduced=jnp.asarray(f_reduced),
+        g_of_r=jnp.asarray(g_of_r) if grid_allowed else None,
+        grid_ok=grid_ok,
+        grouped_identity=grouped_identity,
     )
 
 
@@ -366,19 +488,47 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
 
     ``op`` is a SchurOperator (provides jacobians, (E'E+De^2)^-1 factors
     and the damping vector). Returns S with damping included.
+
+    Placement: when ``plan.grid_ok``, per-cell blocks are GATHERED into a
+    dense (n1, n2) grid per size-group rectangle and placed with a
+    static-offset dynamic-update-slice — XLA scatters run near-serially
+    on TPU (element-at-a-time updates), while the grid gather + slice
+    write streams at memory bandwidth. Assembly then happens in the
+    size-grouped basis and is unpermuted once at the end (identity for
+    single-f-size problems like BAL).
     """
     ctx, ss, D = op.ctx, op.ss, op.D
     dt = op.dtype
     nf = plan.nf
     Te = ss.e_tangent_size
+    grid_mode = plan.grid_ok
 
     S_d = jnp.zeros((nf, nf), dtype=dt)  # diagonal cells
     S_l = jnp.zeros((nf, nf), dtype=dt)  # strict lower cells
 
-    def scatter(S, rows, cols, blocks):
+    def scatter_legacy(S, rows, cols, blocks):
         return S.at[rows[:, :, None], cols[:, None, :]].add(
             blocks, mode="drop", unique_indices=True
         )
+
+    def place_grid(S, inv, offs, blocks):
+        # blocks (C, T1, T2); inv (n1, n2) with dummy = C -> zero block.
+        C, T1, T2 = blocks.shape
+        bp = jnp.concatenate(
+            [blocks, jnp.zeros((1, T1, T2), blocks.dtype)], axis=0
+        )
+        grid = bp[inv]  # (n1, n2, T1, T2)
+        rect = grid.transpose(0, 2, 1, 3).reshape(
+            inv.shape[0] * T1, inv.shape[1] * T2
+        )
+        r0, c0 = offs
+        cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
+        return jax.lax.dynamic_update_slice(S, cur + rect, (r0, c0))
+
+    def scatter3(S, rows, cols, blocks, inv, offs):
+        if grid_mode:
+            return place_grid(S, inv, offs, blocks)
+        return scatter_legacy(S, rows, cols, blocks)
 
     # ---- F'F -------------------------------------------------------------
     for part in plan.ftf:
@@ -391,22 +541,27 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
             if part.j1 != part.j2:
                 # both (j1, j2) and (j2, j1) hit the same diagonal cell
                 blocks = blocks + jnp.swapaxes(blocks, 1, 2)
-            S_d = scatter(S_d, part.rows_diag, part.cols_diag, blocks)
+            S_d = scatter3(S_d, part.rows_diag, part.cols_diag, blocks,
+                           part.inv_diag, part.offs_diag)
         if part.plan_low is not None:
             blocks = apply_reduce(part.plan_low, X)
-            S_l = scatter(
+            S_l = scatter3(
                 S_l,
                 part.rows_low,
                 part.cols_low,
                 blocks[: part.rows_low.shape[0]],
+                part.inv_low,
+                part.offs_low,
             )
         if part.plan_lowt is not None:
             blocks = apply_reduce(part.plan_lowt, X)
-            S_l = scatter(
+            S_l = scatter3(
                 S_l,
                 part.rows_lowt,
                 part.cols_lowt,
                 jnp.swapaxes(blocks[: part.rows_lowt.shape[0]], 1, 2),
+                part.inv_lowt,
+                part.offs_lowt,
             )
 
     # ---- correction W' M^{-1} W -------------------------------------------
@@ -437,11 +592,17 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
         Yb = Y[cc.T2][cc.b_idx]  # (C, K, Te, T2)
         blocks = -jnp.einsum("ckei,ckej->cij", Wa, Yb)
         if cc.diagonal:
-            S_d = scatter(S_d, cc.rows, cc.cols, blocks)
+            S_d = scatter3(S_d, cc.rows, cc.cols, blocks, cc.inv_map,
+                           cc.offs)
         else:
-            S_l = scatter(S_l, cc.rows, cc.cols, blocks)
+            S_l = scatter3(S_l, cc.rows, cc.cols, blocks, cc.inv_map,
+                           cc.offs)
 
     S = S_d + S_l + S_l.T
+    if grid_mode and not plan.grouped_identity:
+        # Unpermute from the size-grouped basis back to reduced order.
+        g = plan.g_of_r
+        S = S[g][:, g]
     # Damping D_f^2 on the reduced diagonal.
     df = D[ss.f_idx]
     S = S + jnp.diag((df * df).astype(dt))

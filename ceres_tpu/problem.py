@@ -163,6 +163,7 @@ class Problem:
         # rid -> ('s', index into _residual_blocks) | ('b', batch, row)
         self._rid_index: Dict[int, Tuple] = {}
         self._program_cache = None
+        self._rb_eval_cache = {}
 
     # -- parameter blocks ---------------------------------------------------
 
@@ -456,10 +457,32 @@ class Problem:
             )
         values = [jnp.asarray(self._pb(p).values) for p in pids]
         args = values + ([data] if data is not None else [])
-        r = fn(*args)
-        jacs = [
-            jax.jacfwd(fn, argnums=j)(*args) for j in range(len(values))
-        ]
+        # One cached jitted (residual, all-jacobians) evaluation per
+        # (cost function, signature): repeated calls — e.g. a user looping
+        # over blocks, problem_test.cc EvaluateResidualBlock patterns —
+        # reuse the compiled primal+jacfwd instead of re-tracing
+        # jax.jacfwd once per argument per call.
+        key = (
+            id(fn),
+            len(values),
+            tuple(v.shape for v in values),
+            None
+            if data is None
+            else tuple(
+                (getattr(a, "shape", None), str(getattr(a, "dtype", "")))
+                for a in jax.tree_util.tree_leaves(data)
+            ),
+        )
+        cached = self._rb_eval_cache.get(key)
+        if cached is None:
+            argnums = tuple(range(len(values)))
+
+            def primal_and_jacs(*a):
+                return fn(*a), jax.jacfwd(fn, argnums=argnums)(*a)
+
+            cached = jax.jit(primal_and_jacs)
+            self._rb_eval_cache[key] = cached
+        r, jacs = cached(*args)
         sq = float(jnp.sum(r * r))
         if apply_loss_function and loss is not None:
             rho0 = float(loss.evaluate(jnp.asarray(sq))[0])

@@ -65,6 +65,54 @@ CONFIGS = [
 ]
 
 
+def make_two_size_problem(seed, ncam_a, ncam_b, npt, sa, sb, ps, rs, vis):
+    """Like make_fake_ba_problem but every residual couples TWO f-blocks
+    of DIFFERENT sizes (pose + intrinsics style) and one e-block: drives
+    the multi-size F'F cross parts (j1 != j2 / transposed cells) and the
+    size-grouped permutation of the scatter-free assembler."""
+    rng = np.random.default_rng(seed)
+    p = ct.Problem()
+    a_ids = p.add_parameter_blocks(rng.standard_normal((ncam_a, sa)))
+    b_ids = p.add_parameter_blocks(rng.standard_normal((ncam_b, sb)))
+    pt_ids = p.add_parameter_blocks(rng.standard_normal((npt, ps)))
+
+    ai, bi, pj = [], [], []
+    for j in range(npt):
+        vis_a = np.nonzero(rng.random(ncam_a) < vis)[0]
+        if vis_a.size == 0:
+            vis_a = np.array([rng.integers(0, ncam_a)])
+        for c in vis_a:
+            ai.append(int(c))
+            bi.append(int(rng.integers(0, ncam_b)))
+            pj.append(j)
+    ai, bi, pj = map(np.asarray, (ai, bi, pj))
+    B = ai.shape[0]
+    Aa = rng.standard_normal((B, rs, sa))
+    Ab = rng.standard_normal((B, rs, sb))
+    Ap = rng.standard_normal((B, rs, ps))
+    b0 = rng.standard_normal((B, rs))
+
+    def resid(ca, cb, pt, data):
+        A_a, A_b, A_p, b = data
+        return A_a @ ca + A_b @ cb + A_p @ pt + b
+
+    p.add_residual_blocks(resid, None, [a_ids[ai], b_ids[bi], pt_ids[pj]],
+                          data=(Aa, Ab, Ap, b0))
+    return p
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_two_f_sizes_matches_dense(seed):
+    problem = make_two_size_problem(seed, ncam_a=4, ncam_b=3, npt=25,
+                                    sa=5, sb=3, ps=2, rs=2, vis=0.4)
+    op, ctx, D, _ = _operator_for(problem)
+    S_e, rhs_e, f_idx = op.dense_reduced_system()
+    _, _, S_np, rhs_np, f, _ = _dense_schur(ctx, D, f_idx)
+    scale = max(1.0, float(np.abs(S_np).max()))
+    np.testing.assert_allclose(np.asarray(S_e), S_np, atol=1e-8 * scale)
+    np.testing.assert_allclose(np.asarray(rhs_e), rhs_np, atol=1e-8 * scale)
+
+
 def _operator_for(problem):
     program = problem.program()
     ss = build_schur_structure(program)
