@@ -14,9 +14,20 @@ Usage:
 """
 
 import argparse
+import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# The environment's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so the env var alone is too late — flip the
+# already-imported config too (same pattern as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
