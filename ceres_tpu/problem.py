@@ -115,8 +115,14 @@ def plus_apply(ps: PlusStructure, x: jax.Array, delta: jax.Array) -> jax.Array:
 def cast_program(program: "Program", dtype) -> "Program":
     """Cast a Program's evaluation arrays (family data, masks, loss
     parameters, bounds) to ``dtype`` in place — the implementation of
-    ``SolverOptions.evaluation_dtype``. Integer index arrays are kept."""
+    ``SolverOptions.evaluation_dtype``. Integer index arrays are kept.
+
+    No-op when the program is already at ``dtype``: repeated solves must
+    not invalidate the cached Schur structure / solve-aux arrays (each
+    rebuild re-uploads hundreds of MB of indices to the device)."""
     dtype = jnp.dtype(dtype)
+    if getattr(program, "eval_dtype", None) == dtype:
+        return program
 
     def cast(a):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
@@ -136,6 +142,8 @@ def cast_program(program: "Program", dtype) -> "Program":
     program.eval_dtype = dtype
     if hasattr(program, "_schur_structure"):
         del program._schur_structure  # rebuild with the new dtype
+    if hasattr(program, "_solve_aux_cache"):
+        del program._solve_aux_cache  # holds the stale structure
     return program
 
 

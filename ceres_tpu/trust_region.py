@@ -178,12 +178,48 @@ def _config_from_options(options, program: Program) -> _SolveConfig:
     )
 
 
+def _solve_aux_cache_key(options):
+    """Option fields that change the aux structures (everything else —
+    tolerances, iteration budgets — is numerically threaded, not
+    structural)."""
+    from ceres_tpu.ordered_groups import normalize_ordering
+
+    groups = normalize_ordering(options.linear_solver_ordering)
+    ordering_key = (
+        tuple(tuple(sorted(g)) for g in groups) if groups else None
+    )
+    subset = options.residual_blocks_for_subset_preconditioner
+    subset_key = tuple(sorted(int(r) for r in subset)) if subset else None
+    return (
+        options.linear_solver_type,
+        options.preconditioner_type,
+        getattr(options, "use_explicit_schur_complement", False),
+        ordering_key,
+        subset_key,
+    )
+
+
 def _build_solve_aux(options, program: Program):
     """Preprocessor-built index structures (block-Jacobi groups, Schur
     elimination structure) as a pytree. Threaded through jit as an
     ARGUMENT — captured as closure constants these arrays become large
-    HLO literals that blow up TPU compile times."""
-    bd_groups = {T: jnp.asarray(idx) for T, idx in program.bd_groups.items()}
+    HLO literals that blow up TPU compile times.
+
+    Memoized per (program, structural-options): the aux arrays for a large
+    BAL problem are hundreds of MB of indices, and rebuilding them per
+    solve re-uploads everything host->device — through the remote-TPU
+    tunnel that costs tens of seconds, dwarfing the solve itself (the
+    r3 large-problem bench measured 47 s/solve rebuilt vs 0.48 s/LM
+    iteration with device-resident aux)."""
+    cache = getattr(program, "_solve_aux_cache", None)
+    if cache is None:
+        cache = {}
+        program._solve_aux_cache = cache
+    key = _solve_aux_cache_key(options)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    bd_groups = program.jnp_bd_groups()
     schur_structure = None
     if options.linear_solver_type in (
         LinearSolverType.DENSE_SCHUR,
@@ -258,11 +294,13 @@ def _build_solve_aux(options, program: Program):
             else None
             for f in program.families
         )
-    return {
+    aux = {
         "bd_groups": bd_groups,
         "ss": schur_structure,
         "subset_masks": subset_masks,
     }
+    cache[key] = aux
+    return aux
 
 
 from ceres_tpu.linear.cg import direct_termination as _direct_termination
