@@ -8,8 +8,11 @@ Run: python benchmarks/compile_profile.py [--small]
 """
 
 import dataclasses
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +20,7 @@ import jax.numpy as jnp
 
 def main():
     small = "--small" in sys.argv
+    large = "--large" in sys.argv
     t0 = time.time()
     from bench import build_instance, make_options
 
@@ -31,8 +35,24 @@ def main():
             perturb=0.7,
             seed=16,
         )
+    elif large:
+        from bench import LARGE_C, LARGE_O, LARGE_P
+        from ceres_tpu.models import bal
+
+        problem = bal.synthesize_bal(
+            num_cameras=LARGE_C,
+            num_points=LARGE_P,
+            num_observations=LARGE_O,
+            noise=2.0,
+            perturb=0.7,
+            seed=7,
+        )
     else:
         problem = build_instance()
+    if not hasattr(problem, "program"):
+        from ceres_tpu.models import bal as _balmod
+
+        problem, _, _ = _balmod.build_problem(problem)
     print(f"build_instance: {time.time()-t0:.1f}s", flush=True)
 
     from ceres_tpu.fused_lm import (
@@ -42,7 +62,16 @@ def main():
         _config_from_options,
     )
 
-    options = make_options()
+    if large:
+        # Match bench.run_large: DENSE_SCHUR explicit eliminator, f32.
+        from ceres_tpu.models import bal as _bal
+
+        options = _bal.default_options(iterative=False)
+        options.max_num_iterations = 50
+        options.function_tolerance = 1e-9
+        options.evaluation_dtype = "float32"
+    else:
+        options = make_options()
     t0 = time.time()
     program = problem.program()
     # Cast FIRST, matching fused_solve's order (fused_lm.py): config and

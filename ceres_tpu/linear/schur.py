@@ -919,18 +919,42 @@ class SchurOperator:
 
         return apply
 
-    def power_series_preconditioner(self, num_terms: int):
+    def power_series_preconditioner(
+        self, num_terms: int, tolerance: float = 0.0
+    ):
         """Truncated Neumann series S^{-1} ~ sum_k (I - M^-1 S)^k M^-1 with
         M = block-Jacobi of S (power_series_expansion_preconditioner.h:44,
-        Weber et al. power bundle adjustment)."""
+        Weber et al. power bundle adjustment).
+
+        Truncation follows the reference
+        (power_series_expansion_preconditioner.cc:60-84): after the
+        leading M^{-1} v term, series terms are accumulated until either
+        ``num_terms`` terms were added or the latest term's norm drops
+        below ``tolerance * ||M^{-1} v||``. ``tolerance = 0`` reproduces
+        the fixed-count truncation exactly.
+        """
         bj = self.schur_jacobi_preconditioner()
 
         def apply(v: jax.Array) -> jax.Array:
-            x = bj(v)
-            acc = x
-            for _ in range(num_terms):
-                x = bj(v - self.s_times(acc)) + acc
-                acc = x
+            y0 = bj(v)
+            threshold = jnp.asarray(tolerance, y0.dtype) * jnp.linalg.norm(
+                y0
+            )
+
+            def cond(state):
+                i, _, term_norm = state
+                return (i < num_terms) & (term_norm >= threshold)
+
+            def body(state):
+                i, acc, _ = state
+                term = bj(v - self.s_times(acc))
+                return i + 1, acc + term, jnp.linalg.norm(term)
+
+            _, acc, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.asarray(0, jnp.int32), y0, jnp.asarray(jnp.inf, y0.dtype)),
+            )
             return acc
 
         return apply
@@ -1059,7 +1083,10 @@ def solve_schur(
         options.preconditioner_type
         == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
     ):
-        M = op.power_series_preconditioner(options.max_num_spse_iterations)
+        M = op.power_series_preconditioner(
+            options.max_num_spse_iterations,
+            getattr(options, "spse_tolerance", 0.0),
+        )
     elif options.preconditioner_type == PreconditionerType.JACOBI:
         M = op.schur_jacobi_preconditioner()  # block-Jacobi of S
     else:
@@ -1073,8 +1100,12 @@ def solve_schur(
     # (iterative_schur_complement_solver.cc:101-111, use_spse_initialization).
     x0 = None
     if getattr(options, "use_spse_initialization", False):
+        # The reference seeds the initialization PSE solver with the same
+        # (max_num_spse_iterations, spse_tolerance) pair
+        # (iterative_schur_complement_solver.cc:100-111).
         x0 = op.power_series_preconditioner(
-            options.max_num_spse_iterations
+            options.max_num_spse_iterations,
+            getattr(options, "spse_tolerance", 0.0),
         )(rhs)
     # use_explicit_schur_complement (solver.h:540-556 /
     # iterative_schur_complement_solver.cc CreatePreconditioner path):

@@ -483,52 +483,39 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
     )
 
 
-def assemble_reduced_system(op, plan: ExplicitSchurPlan):
-    """Assemble the dense reduced system S (nf, nf) in one pass.
+@dataclasses.dataclass(frozen=True)
+class CellSite:
+    """One placement site of the assembly: a batch of reduced cell
+    blocks (C, T1, T2) plus where they go. ``diagonal`` sites land on
+    block-diagonal cells (each block symmetric after accumulation);
+    non-diagonal sites land strictly below the diagonal and are mirrored
+    into the upper triangle by the consumer."""
 
-    ``op`` is a SchurOperator (provides jacobians, (E'E+De^2)^-1 factors
-    and the damping vector). Returns S with damping included.
+    diagonal: bool
+    rows: jax.Array  # (C, T1) reduced row coordinates
+    cols: jax.Array  # (C, T2) reduced col coordinates
+    inv: Optional[jax.Array]  # grid inverse (scatter-free placement)
+    offs: Optional[Tuple[int, int]]
 
-    Placement: when ``plan.grid_ok``, per-cell blocks are GATHERED into a
-    dense (n1, n2) grid per size-group rectangle and placed with a
-    static-offset dynamic-update-slice — XLA scatters run near-serially
-    on TPU (element-at-a-time updates), while the grid gather + slice
-    write streams at memory bandwidth. Assembly then happens in the
-    size-grouped basis and is unpermuted once at the end (identity for
-    single-f-size problems like BAL).
+
+def compute_cell_blocks(op, plan: ExplicitSchurPlan):
+    """Compute every reduced cell block of S (without damping) in one
+    pass, WITHOUT placing them.
+
+    Returns (sites, blocks): a deterministic list of :class:`CellSite`
+    descriptors and the matching list of (C, T1, T2) value arrays. The
+    dense assembler scatters them into an (nf, nf) matrix; the
+    SPARSE_SCHUR exporter (linear/sparse_schur.py) ships them to the
+    host and assembles the block-sparse reduced system instead — the
+    analog split of SchurEliminator (produces cells) vs the
+    BlockRandomAccess{Dense,Sparse}Matrix target it writes to
+    (schur_complement_solver.h:113-183).
     """
-    ctx, ss, D = op.ctx, op.ss, op.D
+    ctx, ss = op.ctx, op.ss
     dt = op.dtype
-    nf = plan.nf
     Te = ss.e_tangent_size
-    grid_mode = plan.grid_ok
-
-    S_d = jnp.zeros((nf, nf), dtype=dt)  # diagonal cells
-    S_l = jnp.zeros((nf, nf), dtype=dt)  # strict lower cells
-
-    def scatter_legacy(S, rows, cols, blocks):
-        return S.at[rows[:, :, None], cols[:, None, :]].add(
-            blocks, mode="drop", unique_indices=True
-        )
-
-    def place_grid(S, inv, offs, blocks):
-        # blocks (C, T1, T2); inv (n1, n2) with dummy = C -> zero block.
-        C, T1, T2 = blocks.shape
-        bp = jnp.concatenate(
-            [blocks, jnp.zeros((1, T1, T2), blocks.dtype)], axis=0
-        )
-        grid = bp[inv]  # (n1, n2, T1, T2)
-        rect = grid.transpose(0, 2, 1, 3).reshape(
-            inv.shape[0] * T1, inv.shape[1] * T2
-        )
-        r0, c0 = offs
-        cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
-        return jax.lax.dynamic_update_slice(S, cur + rect, (r0, c0))
-
-    def scatter3(S, rows, cols, blocks, inv, offs):
-        if grid_mode:
-            return place_grid(S, inv, offs, blocks)
-        return scatter_legacy(S, rows, cols, blocks)
+    sites: List[CellSite] = []
+    blocks_out: List[jax.Array] = []
 
     # ---- F'F -------------------------------------------------------------
     for part in plan.ftf:
@@ -541,27 +528,26 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
             if part.j1 != part.j2:
                 # both (j1, j2) and (j2, j1) hit the same diagonal cell
                 blocks = blocks + jnp.swapaxes(blocks, 1, 2)
-            S_d = scatter3(S_d, part.rows_diag, part.cols_diag, blocks,
-                           part.inv_diag, part.offs_diag)
+            sites.append(
+                CellSite(True, part.rows_diag, part.cols_diag,
+                         part.inv_diag, part.offs_diag)
+            )
+            blocks_out.append(blocks)
         if part.plan_low is not None:
             blocks = apply_reduce(part.plan_low, X)
-            S_l = scatter3(
-                S_l,
-                part.rows_low,
-                part.cols_low,
-                blocks[: part.rows_low.shape[0]],
-                part.inv_low,
-                part.offs_low,
+            sites.append(
+                CellSite(False, part.rows_low, part.cols_low,
+                         part.inv_low, part.offs_low)
             )
+            blocks_out.append(blocks[: part.rows_low.shape[0]])
         if part.plan_lowt is not None:
             blocks = apply_reduce(part.plan_lowt, X)
-            S_l = scatter3(
-                S_l,
-                part.rows_lowt,
-                part.cols_lowt,
-                jnp.swapaxes(blocks[: part.rows_lowt.shape[0]], 1, 2),
-                part.inv_lowt,
-                part.offs_lowt,
+            sites.append(
+                CellSite(False, part.rows_lowt, part.cols_lowt,
+                         part.inv_lowt, part.offs_lowt)
+            )
+            blocks_out.append(
+                jnp.swapaxes(blocks[: part.rows_lowt.shape[0]], 1, 2)
             )
 
     # ---- correction W' M^{-1} W -------------------------------------------
@@ -591,12 +577,69 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
         Wa = W[cc.T1][cc.a_idx]  # (C, K, Te, T1)
         Yb = Y[cc.T2][cc.b_idx]  # (C, K, Te, T2)
         blocks = -jnp.einsum("ckei,ckej->cij", Wa, Yb)
-        if cc.diagonal:
-            S_d = scatter3(S_d, cc.rows, cc.cols, blocks, cc.inv_map,
-                           cc.offs)
+        sites.append(
+            CellSite(cc.diagonal, cc.rows, cc.cols, cc.inv_map, cc.offs)
+        )
+        blocks_out.append(blocks)
+
+    return sites, blocks_out
+
+
+def assemble_reduced_system(op, plan: ExplicitSchurPlan):
+    """Assemble the dense reduced system S (nf, nf) in one pass.
+
+    ``op`` is a SchurOperator (provides jacobians, (E'E+De^2)^-1 factors
+    and the damping vector). Returns S with damping included.
+
+    Placement: when ``plan.grid_ok``, per-cell blocks are GATHERED into a
+    dense (n1, n2) grid per size-group rectangle and placed with a
+    static-offset dynamic-update-slice — XLA scatters run near-serially
+    on TPU (element-at-a-time updates), while the grid gather + slice
+    write streams at memory bandwidth. Assembly then happens in the
+    size-grouped basis and is unpermuted once at the end (identity for
+    single-f-size problems like BAL).
+    """
+    ss, D = op.ss, op.D
+    dt = op.dtype
+    nf = plan.nf
+    grid_mode = plan.grid_ok
+
+    S_d = jnp.zeros((nf, nf), dtype=dt)  # diagonal cells
+    S_l = jnp.zeros((nf, nf), dtype=dt)  # strict lower cells
+
+    def scatter_legacy(S, rows, cols, blocks):
+        return S.at[rows[:, :, None], cols[:, None, :]].add(
+            blocks, mode="drop", unique_indices=True
+        )
+
+    def place_grid(S, inv, offs, blocks):
+        # blocks (C, T1, T2); inv (n1, n2) with dummy = C -> zero block.
+        C, T1, T2 = blocks.shape
+        bp = jnp.concatenate(
+            [blocks, jnp.zeros((1, T1, T2), blocks.dtype)], axis=0
+        )
+        grid = bp[inv]  # (n1, n2, T1, T2)
+        rect = grid.transpose(0, 2, 1, 3).reshape(
+            inv.shape[0] * T1, inv.shape[1] * T2
+        )
+        r0, c0 = offs
+        cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
+        return jax.lax.dynamic_update_slice(S, cur + rect, (r0, c0))
+
+    sites, cell_blocks = compute_cell_blocks(op, plan)
+    for site, blocks in zip(sites, cell_blocks):
+        if grid_mode:
+            placed = place_grid(
+                S_d if site.diagonal else S_l, site.inv, site.offs, blocks
+            )
         else:
-            S_l = scatter3(S_l, cc.rows, cc.cols, blocks, cc.inv_map,
-                           cc.offs)
+            placed = scatter_legacy(
+                S_d if site.diagonal else S_l, site.rows, site.cols, blocks
+            )
+        if site.diagonal:
+            S_d = placed
+        else:
+            S_l = placed
 
     S = S_d + S_l + S_l.T
     if grid_mode and not plan.grouped_identity:

@@ -256,9 +256,21 @@ def bucket_program(program: Program, bucket_size: Optional[int] = None):
         pad_family(f, b, dtype=dt) if f.batch > b else f
         for f in program.families
     ]
+    _invalidate_structure_caches(program)
+    return program
+
+
+def _invalidate_structure_caches(program: Program) -> None:
+    """Drop every cached structure built on the OLD batch sizes /
+    placements: the Schur structure, the per-options solve-aux cache
+    (whose SchurStructure + reduce plans are batch-sized — stale entries
+    would shape-error or silently mis-gather), and the device-resident
+    block-diagonal group tables (their placement matters under a mesh)."""
     if hasattr(program, "_schur_structure"):
         del program._schur_structure
-    return program
+    if hasattr(program, "_solve_aux_cache"):
+        del program._solve_aux_cache
+    program._jnp_bd_groups = None
 
 
 def replicate(x: jax.Array, mesh: Mesh) -> jax.Array:
@@ -302,7 +314,7 @@ def shard_program(
     program.mesh = mesh
     program.mesh_axis = axis_name
     program.point_axis = PT_AXIS if len(axes) > 1 else None
-    # Invalidate any cached Schur structure built on unpadded batches.
-    if hasattr(program, "_schur_structure"):
-        del program._schur_structure
+    # Invalidate every cached structure built on unpadded/unsharded
+    # batches (Schur structure, solve-aux cache, bd-group tables).
+    _invalidate_structure_caches(program)
     return program

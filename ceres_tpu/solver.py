@@ -588,6 +588,12 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         summary.num_unsuccessful_steps = sum(
             1 for i in summary.iterations if not i.step_is_successful
         )
+        # Total inner linear-solver (CG/Krylov) iterations, accumulated
+        # from the per-iteration records the way the reference's Summary
+        # reports num_linear_solves/iterations (solver.cc:890-960).
+        summary.num_linear_solver_iterations = sum(
+            i.linear_solver_iterations for i in summary.iterations
+        )
     if summary.is_solution_usable():
         problem.write_back(x_final)
     summary.postprocessor_time_in_seconds = time.time() - post_t0

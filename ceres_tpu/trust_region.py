@@ -147,6 +147,7 @@ class _SolveConfig:
     max_linear_solver_iterations: int
     min_linear_solver_iterations: int
     max_num_spse_iterations: int
+    spse_tolerance: float
     use_spse_initialization: bool
     use_explicit_schur_complement: bool
     min_lm_diagonal: float
@@ -165,6 +166,7 @@ def _config_from_options(options, program: Program) -> _SolveConfig:
         max_linear_solver_iterations=options.max_linear_solver_iterations,
         min_linear_solver_iterations=options.min_linear_solver_iterations,
         max_num_spse_iterations=options.max_num_spse_iterations,
+        spse_tolerance=options.spse_tolerance,
         use_spse_initialization=options.use_spse_initialization,
         use_explicit_schur_complement=options.use_explicit_schur_complement,
         min_lm_diagonal=options.min_lm_diagonal,
@@ -466,6 +468,80 @@ def _grad_norms(grad):
     return jnp.max(jnp.abs(g)) if g.size else jnp.asarray(0.0), jnp.linalg.norm(g)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "apply_loss", "use_scaling")
+)
+def _tr_iteration_impl(
+    x,
+    ctx,
+    radius,
+    scaling,
+    plus_struct,
+    solve_aux,
+    config: _SolveConfig,
+    apply_loss,
+    use_scaling,
+):
+    """One COMPLETE trust-region iteration as a single XLA computation:
+    LM step + candidate point + candidate cost + norms + a *speculative*
+    full evaluation (gradient + Jacobian) at the candidate.
+
+    The reference's loop (trust_region_minimizer.cc:68-136) makes the
+    accept/reject decision on host scalars; on a remote TPU every scalar
+    read is a tunnel round-trip, so the unfused loop paid 3+ transfers
+    per iteration (step scalars, candidate scalars, new gradient norms).
+    Fusing everything — including the re-evaluation the reference only
+    performs on accepted steps (HandleSuccessfulStep) — costs one wasted
+    Jacobian evaluation on rejected steps but brings the loop to exactly
+    ONE device->host transfer per iteration. Control flow stays on host.
+
+    Returns (candidate_x, candidate_ctx, candidate_grad, scalars) with
+    scalars = (mcc, lin_iters, lin_term, cand_cost, step_norm, x_norm,
+    cand_gmax, cand_gnorm) fetched by the host in a single device_get.
+    """
+    from ceres_tpu.evaluator import _full_impl
+
+    ctx_used = ctx.scale_columns(scaling) if use_scaling else ctx
+    diag = jnp.clip(
+        ctx_used.squared_column_norms(),
+        config.min_lm_diagonal,
+        config.max_lm_diagonal,
+    )
+    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    y, lin_iters, lin_term = _linear_solve(ctx_used, D, solve_aux, config)
+    step_scaled = -y.astype(diag.dtype)
+    Js = ctx_used.matvec(step_scaled)
+    mcc = jnp.asarray(0.0, jnp.float64)
+    for fi in range(len(ctx_used.families)):
+        mcc = mcc - jnp.sum(
+            Js[fi] * (ctx_used.residuals[fi] + Js[fi] / 2.0)
+        )
+
+    delta = step_scaled * scaling if use_scaling else step_scaled
+    cand = plus_apply(plus_struct, x, delta)
+    step_norm = jnp.linalg.norm((x - cand).astype(jnp.float64))
+    x_norm = jnp.linalg.norm(x.astype(jnp.float64))
+
+    # Speculative evaluation at the candidate (cost comes free with it).
+    cand_cost, cand_grad, cand_ctx = _full_impl(
+        cand, ctx.families, apply_loss, config.num_tangent, ctx.groups
+    )
+    g = cand_grad.astype(jnp.float64)
+    gmax = jnp.max(jnp.abs(g)) if g.size else jnp.asarray(0.0, jnp.float64)
+    gnorm = jnp.linalg.norm(g)
+    scalars = (
+        mcc,
+        lin_iters,
+        lin_term,
+        cand_cost,
+        step_norm,
+        x_norm,
+        gmax,
+        gnorm,
+    )
+    return cand, cand_ctx, cand_grad, scalars
+
+
 @jax.jit
 def _scale_columns_jit(ctx, s):
     return ctx.scale_columns(s)
@@ -572,6 +648,17 @@ def _make_lm_step_fn(options, program: Program):
     ):
         return _make_sparse_lm_step_fn(config)
     solve_aux = _build_solve_aux(options, program)
+    if (
+        config.linear_solver_type == LinearSolverType.SPARSE_SCHUR
+        and not config.use_mixed_precision_solves
+    ):
+        # True sparse reduced camera system: device eliminator cells +
+        # host block-sparse Cholesky (schur_complement_solver.h:169-183).
+        # (Mixed-precision and fully-jitted callers use the in-graph
+        # dense-S route in linear/schur.py instead.)
+        from ceres_tpu.linear.sparse_schur import make_sparse_schur_step_fn
+
+        return make_sparse_schur_step_fn(config, solve_aux)
     return lambda ctx, radius: _lm_step_impl(ctx, radius, solve_aux, config)
 
 
@@ -600,6 +687,40 @@ class TrustRegionMinimizer:
             self.step_fn = _make_lm_step_fn(options, program)
         self._plus = lambda x, d: _plus_jit(program.plus_struct, x, d)
         self._scale_columns = _scale_columns_jit
+
+        # Fully-fused iteration (one device->host transfer per loop trip,
+        # see _tr_iteration_impl). Falls back to the step-by-step path
+        # whenever a feature needs host work *between* the step and the
+        # candidate evaluation (bounds line search, inner iterations,
+        # host-driven sparse Cholesky, dumps, gradient checks, callbacks
+        # that read intermediate state).
+        config = _config_from_options(options, program)
+        self._fused_config = config
+        self._use_fused_iteration = (
+            not self.use_dogleg
+            and not program.has_bounds
+            and not options.use_inner_iterations
+            and options.evaluation_callback is None
+            and not options.check_gradients
+            and not options.update_state_every_iteration
+            and not (
+                options.trust_region_problem_dump_directory
+                and options.trust_region_minimizer_iterations_to_dump
+            )
+            and not (
+                config.linear_solver_type
+                in (
+                    LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+                    LinearSolverType.SPARSE_SCHUR,
+                )
+                and not config.use_mixed_precision_solves
+            )
+        )
+        self._fused_aux = (
+            _build_solve_aux(options, program)
+            if self._use_fused_iteration
+            else None
+        )
 
         # Inner iterations (solver.h:560-600, coordinate descent).
         self.inner_minimizer = None
@@ -685,24 +806,56 @@ class TrustRegionMinimizer:
 
             # Compute step with the (scaled) jacobian.
             solver_t0 = time.time()
-            ctx_used = (
-                self._scale_columns(ctx, jacobi_scaling)
-                if jacobi_scaling is not None
-                else ctx
-            )
-            if self.use_dogleg:
-                step_scaled, model_cost_change, lin_iters, lin_term = (
-                    strategy.compute_step(ctx_used)
-                )
-            else:
-                step_scaled, model_cost_change, lin_iters, lin_term = (
-                    self.step_fn(
-                        ctx_used, jnp.asarray(strategy.radius, jnp.float64)
+            fused = self._use_fused_iteration
+            if fused:
+                # One XLA call: step + candidate + cost + speculative
+                # re-evaluation; one device_get for every host scalar.
+                cand_x_dev, cand_ctx, cand_grad, scalar_pack = (
+                    _tr_iteration_impl(
+                        x,
+                        ctx,
+                        jnp.asarray(strategy.radius, jnp.float64),
+                        jacobi_scaling
+                        if jacobi_scaling is not None
+                        else x,
+                        program.plus_struct,
+                        self._fused_aux,
+                        self._fused_config,
+                        self.evaluator.apply_loss,
+                        jacobi_scaling is not None,
                     )
                 )
-            model_cost_change, lin_iters, lin_term = jax.device_get(
-                (model_cost_change, lin_iters, lin_term)
-            )
+                (
+                    model_cost_change,
+                    lin_iters,
+                    lin_term,
+                    f_cand_cost,
+                    f_step_norm,
+                    f_x_norm,
+                    f_gmax,
+                    f_gnorm,
+                ) = jax.device_get(scalar_pack)
+                step_scaled = True  # not None: validity checked below
+            else:
+                ctx_used = (
+                    self._scale_columns(ctx, jacobi_scaling)
+                    if jacobi_scaling is not None
+                    else ctx
+                )
+                if self.use_dogleg:
+                    step_scaled, model_cost_change, lin_iters, lin_term = (
+                        strategy.compute_step(ctx_used)
+                    )
+                else:
+                    step_scaled, model_cost_change, lin_iters, lin_term = (
+                        self.step_fn(
+                            ctx_used,
+                            jnp.asarray(strategy.radius, jnp.float64),
+                        )
+                    )
+                model_cost_change, lin_iters, lin_term = jax.device_get(
+                    (model_cost_change, lin_iters, lin_term)
+                )
             model_cost_change = float(model_cost_change)
             lin_term = int(lin_term)
             it.linear_solver_iterations = int(lin_iters)
@@ -711,7 +864,8 @@ class TrustRegionMinimizer:
             # Problem dumps (solver.h:725-735,
             # trust_region_minimizer.cc:386-396).
             if (
-                opts.trust_region_problem_dump_directory
+                not fused
+                and opts.trust_region_problem_dump_directory
                 and it.iteration
                 in opts.trust_region_minimizer_iterations_to_dump
             ):
@@ -779,7 +933,13 @@ class TrustRegionMinimizer:
 
             num_consecutive_invalid_steps = 0
 
-            if program.has_bounds:
+            if fused:
+                # Everything already computed inside _tr_iteration_impl.
+                candidate_x = cand_x_dev
+                candidate_cost = float(f_cand_cost)
+                step_norm = float(f_step_norm)
+                x_norm = float(f_x_norm)
+            elif program.has_bounds:
                 # Projected line search for bounds
                 # (trust_region_minimizer.cc:103-108).
                 delta = (
@@ -879,7 +1039,20 @@ class TrustRegionMinimizer:
                 it.step_is_successful and candidate_cost > step_evaluator.minimum_cost
             )
 
-            if it.step_is_successful:
+            if it.step_is_successful and fused:
+                atleast_one_successful_step = True
+                x = candidate_x
+                x_cost = candidate_cost
+                # Reuse the speculative candidate evaluation — this is
+                # the reference's HandleSuccessfulStep re-evaluation
+                # (trust_region_minimizer.cc:826), already done on device.
+                grad = cand_grad
+                ctx = cand_ctx
+                it.gradient_max_norm = float(f_gmax)
+                it.gradient_norm = float(f_gnorm)
+                strategy.step_accepted(it.relative_decrease)
+                step_evaluator.step_accepted(candidate_cost, model_cost_change)
+            elif it.step_is_successful:
                 atleast_one_successful_step = True
                 x = candidate_x
                 x_cost = candidate_cost

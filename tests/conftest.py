@@ -54,6 +54,15 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "needs_mesh: requires the 8-device virtual CPU mesh; "
         "skipped in TPU mode")
+    config.addinivalue_line(
+        "markers", "slow: long-running tier (torture/fuzz/large-scale); "
+        "skipped by default, run with --runslow or CERES_RUN_SLOW=1")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the full tier; default run <5 min)")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -63,6 +72,16 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if "needs_mesh" in item.keywords:
                 item.add_marker(skip_mesh)
+    run_slow = (
+        config.getoption("--runslow")
+        or os.environ.get("CERES_RUN_SLOW", "") == "1"
+    )
+    if not run_slow:
+        skip_slow = pytest.mark.skip(
+            reason="slow tier; use --runslow (or CERES_RUN_SLOW=1)")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip_slow)
 
 
 @pytest.fixture(autouse=True, scope="module")
