@@ -604,14 +604,57 @@ def _sparse_finish_impl(ctx, y):
     return step, mcc
 
 
-def _make_sparse_lm_step_fn(config: _SolveConfig):
-    """Host-driven SPARSE_NORMAL_CHOLESKY LM step: device evaluates the
-    block Jacobian; the normal equations are assembled and factorized on
-    the HOST between two jitted computations — no pure_callback, so this
-    runs on every backend including axon (which lacks host callbacks).
-    Mirrors sparse_normal_cholesky_solver.cc:51-120 with the symbolic
-    factorization cached across iterations (sparse_cholesky.h:71-112)."""
+def _make_sparse_lm_step_fn(config: _SolveConfig, program=None):
+    """Host-driven SPARSE_NORMAL_CHOLESKY LM step: the normal equations
+    are factorized on the HOST between jitted device computations — no
+    pure_callback, so this runs on every backend including axon (which
+    lacks host callbacks). Mirrors sparse_normal_cholesky_solver.cc:51-120
+    with the symbolic factorization cached across iterations
+    (sparse_cholesky.h:71-112).
+
+    Static sparsity (the default): H = J'J is assembled ON DEVICE into
+    unique block-pair cells (linear/inner_product.py, the
+    inner_product_computer.h:64 analog) and only O(nnz(H)) cell values +
+    rhs cross to the host per iteration. ``dynamic_sparsity`` ships the
+    Jacobian instead and re-analyzes every iteration
+    (dynamic_sparse_normal_cholesky_solver.cc semantics — the pattern
+    itself is data-dependent there)."""
     from ceres_tpu.linear import sparse_cholesky as _sc
+
+    if not config.dynamic_sparsity and program is not None:
+        from ceres_tpu.linear.inner_product import (
+            _normal_cells_impl,
+            build_normal_assembly,
+            build_normal_plan,
+            host_normal_factor_solve,
+        )
+
+        cached = getattr(program, "_normal_assembly", None)
+        if cached is None:
+            plan = build_normal_plan(program)
+            assembly = build_normal_assembly(plan)
+            program._normal_assembly = (plan, assembly)
+        else:
+            plan, assembly = cached
+
+        def step_fn(ctx, radius):
+            D, rhs = _sparse_prep_impl(ctx, radius, config)
+            blocks = _normal_cells_impl(ctx, plan)
+            blocks_h, D_h, rhs_h = jax.device_get((blocks, D, rhs))
+            y, term = host_normal_factor_solve(
+                assembly, list(blocks_h), D_h, rhs_h
+            )
+            step, mcc = _sparse_finish_impl(
+                ctx, jnp.asarray(y).astype(D.dtype)
+            )
+            return (
+                step,
+                mcc,
+                jnp.asarray(1, jnp.int32),
+                jnp.asarray(term, jnp.int32),
+            )
+
+        return step_fn
 
     def step_fn(ctx, radius):
         D, rhs = _sparse_prep_impl(ctx, radius, config)
@@ -646,7 +689,7 @@ def _make_lm_step_fn(options, program: Program):
         config.linear_solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY
         and not config.use_mixed_precision_solves
     ):
-        return _make_sparse_lm_step_fn(config)
+        return _make_sparse_lm_step_fn(config, program)
     solve_aux = _build_solve_aux(options, program)
     if (
         config.linear_solver_type == LinearSolverType.SPARSE_SCHUR

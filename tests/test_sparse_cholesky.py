@@ -291,3 +291,108 @@ class TestWiredSolverPath:
             )
             finals.append(s.final_cost)
         assert finals[0] == pytest.approx(finals[1], rel=1e-6)
+
+
+class TestInnerProductAssembly:
+    """Device-side H = J'J cell assembly (linear/inner_product.py, the
+    inner_product_computer.h:64 analog): the host receives O(nnz(H))
+    cell values instead of O(nnz(J)) Jacobian entries."""
+
+    def test_device_assembled_H_matches_dense(self):
+        from ceres_tpu.evaluator import Evaluator
+        from ceres_tpu.linear.inner_product import (
+            build_normal_assembly,
+            build_normal_plan,
+            compute_normal_cells,
+        )
+
+        p = _tiny_residual_problem(seed=7, n_blocks=9)
+        program = p.program()
+        ev = Evaluator(program)
+        full = ev.cost_gradient_jacobian(program.initial_ambient())
+        ctx = full.jacobian_context
+        plan = build_normal_plan(program)
+        assembly = build_normal_assembly(plan)
+        blocks = compute_normal_cells(ctx, plan)
+        vals = np.concatenate(
+            [np.asarray(b, dtype=np.float64).ravel() for b in blocks]
+        )
+        data = np.bincount(
+            assembly.pos, weights=vals, minlength=assembly.nnz + 1
+        )[: assembly.nnz]
+        Hu = sp.csc_matrix(
+            (data, assembly.indices, assembly.indptr),
+            shape=(assembly.n, assembly.n),
+        ).toarray()
+        H_sparse = Hu + np.triu(Hu, k=1).T
+        Jd = np.asarray(ctx.to_dense())
+        np.testing.assert_allclose(
+            H_sparse, Jd.T @ Jd, rtol=1e-10, atol=1e-12
+        )
+
+    def test_step_matches_jacobian_shipping_path(self):
+        from ceres_tpu.evaluator import Evaluator
+        from ceres_tpu.trust_region import (
+            _config_from_options,
+            _make_sparse_lm_step_fn,
+        )
+
+        p = _tiny_residual_problem(seed=9, n_blocks=8)
+        program = p.program()
+        ev = Evaluator(program)
+        ctx = ev.cost_gradient_jacobian(
+            program.initial_ambient()
+        ).jacobian_context
+        opts = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY
+        )
+        config = _config_from_options(opts, program)
+        new_fn = _make_sparse_lm_step_fn(config, program)
+        old_fn = _make_sparse_lm_step_fn(config, None)  # J-shipping path
+        radius = jnp.asarray(3e3, jnp.float64)
+        y_new, mcc_new, _, term_new = new_fn(ctx, radius)
+        y_old, mcc_old, _, term_old = old_fn(ctx, radius)
+        np.testing.assert_allclose(
+            np.asarray(y_new), np.asarray(y_old), rtol=1e-9, atol=1e-12
+        )
+        assert float(mcc_new) == pytest.approx(float(mcc_old), rel=1e-8)
+        assert int(term_new) == int(term_old) == sc.CG_SUCCESS
+
+    def test_transfer_scales_with_nnz_H_not_nnz_J(self):
+        # Many residuals per block pair: cells deduplicate on device, so
+        # the per-iteration transfer is independent of the number of
+        # observations (inner_product_computer.h semantics).
+        from ceres_tpu.linear.inner_product import build_normal_plan
+
+        rng = np.random.default_rng(0)
+        p = ct.Problem()
+        blocks = [
+            p.add_parameter_block(rng.normal(size=2)) for _ in range(4)
+        ]
+        n_obs = 500  # 500 residuals over only 3 block pairs
+        ai = rng.integers(0, 3, size=n_obs)
+        data = jnp.asarray(rng.normal(size=(n_obs, 2)))
+
+        def chain(a, b, data):
+            return jnp.asarray(
+                [a[0] * b[1] - data[0], a[1] + b[0] ** 2 - data[1]]
+            )
+
+        p.add_residual_blocks(
+            chain,
+            None,
+            [np.asarray(blocks)[ai], np.asarray(blocks)[ai + 1]],
+            data=data,
+        )
+        program = p.program()
+        plan = build_normal_plan(program)
+        cell_scalars = sum(
+            s.rows.shape[0] * s.rows.shape[1] * s.cols.shape[1]
+            for s in plan.sites
+        )
+        nnz_J = n_obs * 2 * 4  # rows x (2 args x 2 cols)
+        # Block cells: per arg-pair site, at most 3 cells each for
+        # (a,a), (b,b), (a,b) -> 9 cells of 2x2 (diagonal cells shared
+        # between the two self-pair sites are counted once per site).
+        assert cell_scalars <= 9 * 4
+        assert cell_scalars < nnz_J / 10
