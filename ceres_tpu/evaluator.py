@@ -582,12 +582,20 @@ class Evaluator:
         apply_loss_function: bool = True,
         evaluation_callback=None,
     ):
+        from ceres_tpu.utils.observability import ExecutionSummary
+
         self.program = program
         self.apply_loss = apply_loss_function
         self.evaluation_callback = evaluation_callback
         self._last_x = None
         self._families = program.families
         self._num_tangent = program.num_tangent
+        # Evaluator::Statistics parity (execution_summary.h:44-84,
+        # program_evaluator.h:143-147): per-entry-point call counts and
+        # host-side dispatch wall time. Device execution is async, so a
+        # time here is the dispatch cost unless the caller synchronizes
+        # right after (the host minimizer does, via its device_get).
+        self.execution_summary = ExecutionSummary()
 
         # Bound entry points with the static arguments filled in.
         nt = program.num_tangent
@@ -613,22 +621,49 @@ class Evaluator:
         )
 
     def cost(self, x: jax.Array) -> jax.Array:
+        from ceres_tpu.utils.observability import ScopedExecutionTimer
+
         self._notify(x, False)
-        return self._cost_fn(x, self._families)
+        with ScopedExecutionTimer(
+            "Evaluator::Residual", self.execution_summary
+        ):
+            return self._cost_fn(x, self._families)
 
     def residuals(self, x: jax.Array) -> jax.Array:
+        from ceres_tpu.utils.observability import ScopedExecutionTimer
+
         self._notify(x, False)
-        return self._residuals_fn(x, self._families)
+        with ScopedExecutionTimer(
+            "Evaluator::Residual", self.execution_summary
+        ):
+            return self._residuals_fn(x, self._families)
 
     def cost_and_gradient(self, x: jax.Array):
         """(cost, tangent gradient) without forming the Jacobian."""
+        from ceres_tpu.utils.observability import ScopedExecutionTimer
+
         self._notify(x, False)
-        return self._cost_grad_fn(x, self._families, self.program.plus_struct)
+        with ScopedExecutionTimer(
+            "Evaluator::Gradient", self.execution_summary
+        ):
+            return self._cost_grad_fn(
+                x, self._families, self.program.plus_struct
+            )
 
     def cost_gradient_jacobian(self, x: jax.Array) -> FullEval:
+        from ceres_tpu.utils.observability import ScopedExecutionTimer
+
         self._notify(x, True)
-        cost, grad, ctx = self._full_fn(x, self._families)
+        with ScopedExecutionTimer(
+            "Evaluator::Jacobian", self.execution_summary
+        ):
+            cost, grad, ctx = self._full_fn(x, self._families)
         return FullEval(cost=cost, gradient=grad, jacobian_context=ctx)
+
+    def statistics(self):
+        """Evaluator::Statistics analog: the ExecutionSummary of call
+        counts/times (program_evaluator.h:143-147)."""
+        return self.execution_summary
 
     def plus(self, x: jax.Array, delta: jax.Array) -> jax.Array:
         return self.program.plus(x, delta)

@@ -289,6 +289,10 @@ class LineSearchMinimizer:
             self.oracle = ProgramOracle(program_or_oracle)
         self.options = options
         self.summary = summary
+        # Evaluator::Statistics surface (solve() folds these into the
+        # Summary counters post-minimize); GradientProblem oracles have
+        # no Evaluator — solve() handles the absence.
+        self.evaluator = getattr(self.oracle, "_ev", None)
 
     def minimize(self, x0):
         opts = self.options

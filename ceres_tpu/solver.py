@@ -394,6 +394,21 @@ class SolverSummary:
     minimizer_time_in_seconds: float = 0.0
     postprocessor_time_in_seconds: float = 0.0
     total_time_in_seconds: float = 0.0
+    # Per-phase minimizer times (solver.h:967-1006 / solver.cc:890-960
+    # FullReport time table). On the fused one-call-per-iteration path
+    # the evaluation is inside the step computation, so its time is
+    # accounted under the linear solver (see trust_region.py).
+    residual_evaluation_time_in_seconds: float = 0.0
+    jacobian_evaluation_time_in_seconds: float = 0.0
+    linear_solver_time_in_seconds: float = 0.0
+    inner_iteration_time_in_seconds: float = 0.0
+    num_residual_evaluations: int = 0
+    num_jacobian_evaluations: int = 0
+    num_linear_solves: int = 0
+    # Phase log (EventLogger) and the Evaluator's ExecutionSummary,
+    # attached post-solve for programmatic inspection.
+    event_log: Optional[object] = None
+    evaluator_statistics: Optional[object] = None
     linear_solver_type_used: Optional[LinearSolverType] = None
     preconditioner_type_used: Optional[PreconditionerType] = None
     trust_region_strategy_type_used: Optional[TrustRegionStrategyType] = None
@@ -451,10 +466,29 @@ class SolverSummary:
             f"{'Successful steps':<30}{self.num_successful_steps:>12}",
             f"{'Unsuccessful steps':<30}{self.num_unsuccessful_steps:>12}",
             f"{'Linear solver failures':<30}{self.num_linear_solver_failures:>12}",
+            f"{'Linear solver iterations':<30}"
+            f"{self.num_linear_solver_iterations:>12}",
             "",
-            f"{'Preprocessor time (s)':<30}{self.preprocessor_time_in_seconds:>12.4f}",
-            f"{'Minimizer time (s)':<30}{self.minimizer_time_in_seconds:>12.4f}",
-            f"{'Total time (s)':<30}{self.total_time_in_seconds:>12.4f}",
+            "Time (in seconds):",
+            f"{'Preprocessor':<34}{self.preprocessor_time_in_seconds:>10.4f}",
+            "",
+            f"  {'Residual only evaluation':<28}"
+            f"{self.residual_evaluation_time_in_seconds:>14.4f}"
+            f" ({self.num_residual_evaluations})",
+            f"  {'Jacobian & residual evaluation':<28}"
+            f"{self.jacobian_evaluation_time_in_seconds:>14.4f}"
+            f" ({self.num_jacobian_evaluations})",
+            f"  {'Linear solver':<28}"
+            f"{self.linear_solver_time_in_seconds:>14.4f}"
+            f" ({self.num_linear_solves})",
+            f"  {'Inner iterations':<28}"
+            f"{self.inner_iteration_time_in_seconds:>14.4f}"
+            f" ({self.num_inner_iteration_steps})",
+            f"{'Minimizer':<34}{self.minimizer_time_in_seconds:>10.4f}",
+            "",
+            f"{'Postprocessor':<34}"
+            f"{self.postprocessor_time_in_seconds:>10.4f}",
+            f"{'Total':<34}{self.total_time_in_seconds:>10.4f}",
             "",
             f"Termination: {self.termination_type} ({self.message})",
         ]
@@ -467,10 +501,16 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     Solves in place: final parameter values are written back into the
     problem's parameter blocks.
     """
+    from ceres_tpu.utils.observability import EventLogger
+
     total_t0 = time.time()
     summary = SolverSummary()
     summary.minimizer_type = options.minimizer_type
     summary.trust_region_strategy_type = options.trust_region_strategy_type
+    # Scoped phase log (event_logger.h:41-75); attached to the summary so
+    # callers can inspect phase deltas programmatically.
+    event_logger = EventLogger("Solver::Solve")
+    summary.event_log = event_logger
 
     # Preprocess: freeze program, resolve config (solver.cc:789-793).
     pre_t0 = time.time()
@@ -553,6 +593,7 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
             return summary
 
     summary.preprocessor_time_in_seconds = time.time() - pre_t0
+    event_logger.add_event("Preprocess")
 
     # Minimize.
     min_t0 = time.time()
@@ -576,6 +617,30 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         minimizer = LineSearchMinimizer(program, resolved, summary)
         x_final = minimizer.minimize(x0)
     summary.minimizer_time_in_seconds = time.time() - min_t0
+    event_logger.add_event("Minimize")
+
+    # Statistics from the evaluator (Evaluator::Statistics,
+    # program_evaluator.h:143-147): fold the line-search/gradient-probe
+    # evaluations the minimizer routed through the Evaluator into the
+    # summary counters (the trust-region loop accounts its own fused
+    # calls directly).
+    ev = getattr(minimizer, "evaluator", None)
+    if ev is not None and hasattr(ev, "execution_summary"):
+        es = ev.execution_summary
+        if options.minimizer_type != MinimizerType.TRUST_REGION:
+            summary.num_residual_evaluations += es.calls.get(
+                "Evaluator::Residual", 0
+            )
+            summary.residual_evaluation_time_in_seconds += es.times.get(
+                "Evaluator::Residual", 0.0
+            )
+            summary.num_jacobian_evaluations += es.calls.get(
+                "Evaluator::Gradient", 0
+            ) + es.calls.get("Evaluator::Jacobian", 0)
+            summary.jacobian_evaluation_time_in_seconds += es.times.get(
+                "Evaluator::Gradient", 0.0
+            ) + es.times.get("Evaluator::Jacobian", 0.0)
+        summary.evaluator_statistics = es
 
     # Postprocess (solver.cc:834-855).
     post_t0 = time.time()
@@ -598,4 +663,5 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         problem.write_back(x_final)
     summary.postprocessor_time_in_seconds = time.time() - post_t0
     summary.total_time_in_seconds = time.time() - total_t0
+    event_logger.finish()
     return summary

@@ -788,8 +788,11 @@ class TrustRegionMinimizer:
         )
 
         # Iteration zero (trust_region_minimizer.cc:196-283).
+        _t0 = time.time()
         full = self.evaluator.cost_gradient_jacobian(x)
         x_cost = float(full.cost)
+        summary.jacobian_evaluation_time_in_seconds += time.time() - _t0
+        summary.num_jacobian_evaluations += 1
         if not np.isfinite(x_cost):
             summary.termination_type = TerminationType.FAILURE
             summary.message = "Initial cost evaluation failed (non-finite)."
@@ -903,6 +906,17 @@ class TrustRegionMinimizer:
             lin_term = int(lin_term)
             it.linear_solver_iterations = int(lin_iters)
             it.step_solver_time_in_seconds = time.time() - solver_t0
+            # Statistics (execution_summary.h analog): on the fused path
+            # one call covers step + candidate + re-evaluation, so its
+            # whole time lands under "linear solver" and the evaluation
+            # counters still tick (see SolverSummary field comment).
+            summary.linear_solver_time_in_seconds += (
+                it.step_solver_time_in_seconds
+            )
+            summary.num_linear_solves += 1
+            if fused:
+                summary.num_residual_evaluations += 1
+                summary.num_jacobian_evaluations += 1
 
             # Problem dumps (solver.h:725-735,
             # trust_region_minimizer.cc:386-396).
@@ -992,12 +1006,18 @@ class TrustRegionMinimizer:
                 )
                 delta = self._projected_line_search(x, x_cost, delta, grad)
                 candidate_x = program.clamp(self._plus(x, delta))
+                _t0 = time.time()
                 candidate_cost = float(self.evaluator.cost(candidate_x))
+                summary.residual_evaluation_time_in_seconds += (
+                    time.time() - _t0
+                )
+                summary.num_residual_evaluations += 1
                 x_norm = float(jnp.linalg.norm(x))
                 step_norm = float(jnp.linalg.norm(x - candidate_x))
             else:
                 # Fused candidate + cost + norms: one jit call, one
                 # host transfer (trust_region_minimizer.cc:775-793).
+                _t0 = time.time()
                 self.evaluator._notify(None, False)
                 candidate_x, cc, sn, xn = _candidate_impl(
                     x,
@@ -1017,6 +1037,10 @@ class TrustRegionMinimizer:
                 candidate_cost, step_norm, x_norm = (
                     float(cc), float(sn), float(xn),
                 )
+                summary.residual_evaluation_time_in_seconds += (
+                    time.time() - _t0
+                )
+                summary.num_residual_evaluations += 1
             if not np.isfinite(candidate_cost):
                 candidate_cost = _DBL_MAX
 
@@ -1028,9 +1052,11 @@ class TrustRegionMinimizer:
                 and np.isfinite(candidate_cost)
                 and candidate_cost > 0.0
             ):
+                _t0 = time.time()
                 inner_x, inner_cost = self.inner_minimizer.minimize(
                     candidate_x
                 )
+                summary.inner_iteration_time_in_seconds += time.time() - _t0
                 summary.num_inner_iteration_steps += 1
                 if np.isfinite(inner_cost) and inner_cost < candidate_cost:
                     rel_progress = (
@@ -1119,10 +1145,15 @@ class TrustRegionMinimizer:
                             f"{it.iteration}: {msg}"
                         )
                         return self._finish(x)
+                _t0 = time.time()
                 full = self.evaluator.cost_gradient_jacobian(x)
                 grad = full.gradient
                 ctx = full.jacobian_context
                 gmax, gnorm = jax.device_get(_grad_norms(grad))
+                summary.jacobian_evaluation_time_in_seconds += (
+                    time.time() - _t0
+                )
+                summary.num_jacobian_evaluations += 1
                 it.gradient_max_norm = float(gmax)
                 it.gradient_norm = float(gnorm)
                 strategy.step_accepted(it.relative_decrease)

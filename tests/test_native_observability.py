@@ -172,3 +172,61 @@ class TestObservability:
         np.testing.assert_allclose(
             p2.parameter_block_value(pid0), ck["blocks"][pid0]
         )
+
+
+class TestSolveStatistics:
+    """Wired observability (VERDICT r3 #7): Evaluator/LinearSolver
+    statistics surfaced in the Summary + FullReport time table
+    (execution_summary.h:44-84, solver.cc:890-960)."""
+
+    def test_counters_and_times_after_solve(self):
+        prob = bal.synthesize_bal(2, 30, 90, seed=5)
+        p, _, _ = bal.build_problem(prob)
+        opts = ct.SolverOptions(max_num_iterations=8)
+        s = ct.solve(opts, p)
+        assert s.num_jacobian_evaluations > 0
+        assert s.num_residual_evaluations > 0
+        assert s.num_linear_solves > 0
+        assert s.num_linear_solver_iterations > 0
+        assert s.jacobian_evaluation_time_in_seconds > 0.0
+        assert s.linear_solver_time_in_seconds > 0.0
+        # evaluator statistics attached (Evaluator::Statistics analog)
+        assert s.evaluator_statistics is not None
+        assert s.evaluator_statistics.calls.get("Evaluator::Jacobian", 0) > 0
+
+    def test_full_report_time_table(self):
+        prob = bal.synthesize_bal(2, 30, 90, seed=5)
+        p, _, _ = bal.build_problem(prob)
+        opts = ct.SolverOptions(max_num_iterations=5)
+        s = ct.solve(opts, p)
+        report = s.full_report()
+        for needle in (
+            "Time (in seconds):",
+            "Residual only evaluation",
+            "Jacobian & residual evaluation",
+            "Linear solver",
+            "Preprocessor",
+            "Minimizer",
+            "Total",
+            "Linear solver iterations",
+        ):
+            assert needle in report, needle
+
+    def test_event_log_phases(self):
+        prob = bal.synthesize_bal(2, 30, 90, seed=5)
+        p, _, _ = bal.build_problem(prob)
+        s = ct.solve(ct.SolverOptions(max_num_iterations=3), p)
+        names = [e[0] for e in s.event_log.events]
+        assert "Preprocess" in names
+        assert "Minimize" in names
+        assert "total" in names
+
+    def test_line_search_counters(self):
+        prob = bal.synthesize_bal(2, 30, 90, seed=5)
+        p, _, _ = bal.build_problem(prob)
+        opts = ct.SolverOptions(
+            minimizer_type=ct.MinimizerType.LINE_SEARCH,
+            max_num_iterations=5,
+        )
+        s = ct.solve(opts, p)
+        assert s.num_jacobian_evaluations > 0
