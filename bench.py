@@ -101,6 +101,23 @@ PEAK_F32_FLOPS = 197e12 / 2  # v5e: 394 TFLOP/s bf16, ~1/4 of that in f32
 PEAK_HBM_BW = 819e9  # v5e HBM bandwidth (bytes/s)
 
 
+def roofline(flops, bytes_moved, measured_s):
+    """Roofline accounting (VERDICT r3 #3): the achievable time for this
+    work is max(compute-bound, bandwidth-bound); pct_of_roofline says
+    how close the measured time gets. The residual gap is overhead —
+    kernel launches, layout changes, host round-trips — itemized
+    separately (benchmarks/stage_profile2.py)."""
+    t_compute = flops / PEAK_F32_FLOPS
+    t_bandwidth = bytes_moved / PEAK_HBM_BW
+    t_roofline = max(t_compute, t_bandwidth)
+    return {
+        "roofline_s": round(t_roofline, 6),
+        "bound": "compute" if t_compute >= t_bandwidth else "bandwidth",
+        "pct_of_roofline": round(100.0 * t_roofline / max(measured_s, 1e-12), 3),
+        "gap_x": round(max(measured_s, 1e-12) / max(t_roofline, 1e-12), 1),
+    }
+
+
 def run_ceres_tpu(prob):
     from ceres_tpu.fused_lm import fused_solve
     from ceres_tpu.models import bal
@@ -158,9 +175,13 @@ def run_ceres_tpu(prob):
 
     iters = len(summary.iterations)
     lin_iters = summary.num_linear_solver_iterations
-    mfu = flops_model(NUM_OBS, iters, lin_iters) / max(solve_s, 1e-9) / PEAK_F32_FLOPS
-    hbm = bytes_model(NUM_OBS, iters, lin_iters) / max(solve_s, 1e-9) / PEAK_HBM_BW
+    fl = flops_model(NUM_OBS, iters, lin_iters)
+    by = bytes_model(NUM_OBS, iters, lin_iters)
+    mfu = fl / max(solve_s, 1e-9) / PEAK_F32_FLOPS
+    hbm = by / max(solve_s, 1e-9) / PEAK_HBM_BW
+    rl = roofline(fl, by, solve_s)
     return {
+        "roofline": rl,
         "solve_s": solve_s,
         "s_per_iter": solve_s / max(iters, 1),
         "setup_s": setup_s,
@@ -262,6 +283,20 @@ def large_flops_model(num_obs, nf, num_iters, lin_iters):
     return num_iters * (eval_f + assemble_f + chol_f + backsub_f)
 
 
+def large_bytes_model(num_obs, nf, num_iters):
+    """HBM-traffic model for the large DENSE_SCHUR solve. The f32
+    Jacobian blocks are 120 B/observation; per LM iteration they are
+    written once (eval) and re-read ~4x (column norms + scaling, F'F
+    assembly, W build, back-substitution). The correction term streams
+    the (3,9) W/Y slabs once per observation pair (~6 pairs/obs at 6
+    obs/point), and the dense S (nf^2 f32) is written + read ~4x
+    (assembly, damping, Cholesky in, factor out)."""
+    jac_bytes = num_obs * 120
+    pair_bytes = 6 * num_obs * 2 * 108
+    s_bytes = 4 * nf * nf * 4
+    return num_iters * (5 * jac_bytes + pair_bytes + s_bytes)
+
+
 def run_large(seed=7):
     import dataclasses
 
@@ -292,13 +327,17 @@ def run_large(seed=7):
     solve_s = time.time() - t0
     iters = len(summary.iterations)
     nf = 9 * LARGE_C
-    mfu = (
-        large_flops_model(LARGE_O, nf, iters,
-                          summary.num_linear_solver_iterations)
-        / max(solve_s, 1e-9)
-        / PEAK_F32_FLOPS
+    fl = large_flops_model(
+        LARGE_O, nf, iters, summary.num_linear_solver_iterations
     )
+    by = large_bytes_model(LARGE_O, nf, iters)
+    mfu = fl / max(solve_s, 1e-9) / PEAK_F32_FLOPS
+    rl = roofline(fl, by, solve_s)
     return {
+        "roofline": rl,
+        "hbm_util_pct": round(
+            100 * by / max(solve_s, 1e-9) / PEAK_HBM_BW, 3
+        ),
         "solve_s": round(solve_s, 3),
         "s_per_iter": round(solve_s / max(iters, 1), 4),
         "compile_s": round(compile_s, 1),

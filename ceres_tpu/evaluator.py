@@ -322,25 +322,52 @@ class JacobianContext:
             f.reduce_plans is not None for f in self.families
         )
 
+    def _group_slice_of(self, T):
+        return getattr(self.groups, "slice_of", lambda _T: None)(T)
+
+    def _group_rows(self, v: jax.Array, T: int, idx) -> jax.Array:
+        """(G_T, T) view of a group's coordinates of the flat vector v.
+        Contiguous groups (BlockGroups.slice_of) lower to a free
+        dynamic_slice+reshape; a general 2-D gather at 200k rows costs
+        ~60 s of TPU compile (benchmarks/compile_micro3.py)."""
+        sl = self._group_slice_of(T)
+        if sl is not None:
+            start, G = sl
+            return jax.lax.dynamic_slice(v, (start,), (G * T,)).reshape(
+                G, T
+            )
+        return v[idx]
+
     def _group_pad(self, v: jax.Array) -> dict:
         """Flat tangent vector -> {T: (G_T+1, T)} grouped view (+ zero
         dummy row for constant blocks / padding)."""
         out = {}
         for T, idx in self.groups.items():
             out[T] = jnp.concatenate(
-                [v[idx], jnp.zeros((1, T), v.dtype)], axis=0
+                [self._group_rows(v, T, idx), jnp.zeros((1, T), v.dtype)],
+                axis=0,
             )
         return out
 
     def _ungroup_add(self, acc: dict, dtype) -> jax.Array:
         """{T: (G_T+1, T)} group sums -> flat tangent vector (rows are
-        disjoint coordinate sets, so the scatter is unique-index)."""
+        disjoint coordinate sets, so the scatter is unique-index; for
+        contiguous groups it is a dynamic-update-slice)."""
         g = jnp.zeros((self.num_tangent,), dtype=dtype)
         for T, a in acc.items():
             idx = self.groups[T]
-            g = g.at[idx].add(
-                a[: idx.shape[0]], mode="drop", unique_indices=True
-            )
+            G = idx.shape[0]
+            sl = self._group_slice_of(T)
+            if sl is not None:
+                start, _ = sl
+                cur = jax.lax.dynamic_slice(g, (start,), (G * T,))
+                g = jax.lax.dynamic_update_slice(
+                    g, cur + a[:G].astype(dtype).reshape(G * T), (start,)
+                )
+            else:
+                g = g.at[idx].add(
+                    a[:G], mode="drop", unique_indices=True
+                )
         return g
 
     def matvec(self, v: jax.Array, skip=None) -> Tuple[jax.Array, ...]:
@@ -472,7 +499,11 @@ class JacobianContext:
             sg = {}
             for T, idx in self.groups.items():
                 sg[T] = jnp.concatenate(
-                    [scale[idx], jnp.ones((1, T), scale.dtype)], axis=0
+                    [
+                        self._group_rows(scale, T, idx),
+                        jnp.ones((1, T), scale.dtype),
+                    ],
+                    axis=0,
                 )
         else:
             s_pad = jnp.concatenate([scale, jnp.ones((1,), scale.dtype)])

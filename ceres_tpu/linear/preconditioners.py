@@ -45,13 +45,26 @@ def block_jacobi_preconditioner(
     """
     from ceres_tpu.ops.small_linalg import spd_inverse
 
+    slice_of = getattr(bd_groups, "slice_of", lambda _T: None)
+
+    def rows_of(v, T, idx):
+        # contiguous group -> slice+reshape (free to compile); a 200k-row
+        # 2-D gather costs ~60 s of TPU compile (compile_micro3.py).
+        sl = slice_of(T)
+        if sl is not None:
+            start, G = sl
+            return jax.lax.dynamic_slice(v, (start,), (G * T,)).reshape(
+                G, T
+            )
+        return v[jnp.asarray(idx)]
+
     group_sizes = {T: idx.shape[0] for T, idx in bd_groups.items()}
     blocks = ctx.block_jtj(group_sizes)
     inverses = {}
     for T, idx in bd_groups.items():
         mat = blocks[T]
         if D is not None:
-            Db = D[jnp.asarray(idx)]  # (G, T)
+            Db = rows_of(D, T, idx)  # (G, T)
             mat = mat + jax.vmap(jnp.diag)(Db * Db)
         # Closed-form/unrolled SPD inverses (invert_psd_matrix.h analog):
         # the apply becomes one einsum instead of a batched
@@ -62,10 +75,16 @@ def block_jacobi_preconditioner(
     def apply(v: jax.Array) -> jax.Array:
         out = jnp.zeros_like(v)
         for T, idx in bd_groups.items():
-            idx_j = jnp.asarray(idx)
-            vb = v[idx_j]  # (G, T)
+            vb = rows_of(v, T, idx)  # (G, T)
             sol = jnp.einsum("gij,gj->gi", inverses[T], vb)
-            out = out.at[idx_j].set(sol)
+            sl = slice_of(T)
+            if sl is not None:
+                start, G = sl
+                out = jax.lax.dynamic_update_slice(
+                    out, sol.reshape(G * T).astype(out.dtype), (start,)
+                )
+            else:
+                out = out.at[jnp.asarray(idx)].set(sol)
         return out
 
     return apply

@@ -129,6 +129,12 @@ class SchurStructure:
     # ((P, ...) arrays) to the 'pt' axis (parallel/sharding.make_mesh_2d).
     # Meta field: hashable, not traced.
     point_sharding: Optional[object] = None
+    # Static contiguity of the e coordinates: (start,) when e_group is
+    # one ascending range (BAL layout). Point-space gathers/scatters
+    # then lower to dynamic slices — a (P, Te) general gather/scatter at
+    # 200k points costs ~60 s of TPU COMPILE time each
+    # (benchmarks/compile_micro3.py). Meta field.
+    e_slice: Optional[Tuple[int]] = None
 
 
 jax.tree_util.register_dataclass(
@@ -137,7 +143,10 @@ jax.tree_util.register_dataclass(
         "e_group", "f_mask", "f_idx", "e_pos", "f_groups", "f_pos",
         "cluster_groups", "chain_clusters", "e_plan", "f_plan", "explicit",
     ],
-    meta_fields=["num_points", "e_tangent_size", "e_arg", "point_sharding"],
+    meta_fields=[
+        "num_points", "e_tangent_size", "e_arg", "point_sharding",
+        "e_slice",
+    ],
 )
 
 
@@ -302,9 +311,18 @@ def build_schur_structure(
                 )
         f_plan.append(tuple(plans))
 
+    e_flat = e_group.ravel()
+    e_slice = None
+    if e_flat.size and np.array_equal(
+        e_flat,
+        np.arange(e_flat[0], e_flat[0] + e_flat.size, dtype=e_flat.dtype),
+    ):
+        e_slice = (int(e_flat[0]),)
+
     ss = SchurStructure(
         num_points=P,
         e_tangent_size=Te,
+        e_slice=e_slice,
         e_group=jnp.asarray(e_group),
         f_mask=jnp.asarray(f_mask),
         f_idx=jnp.asarray(f_idx),
@@ -508,7 +526,7 @@ class SchurOperator:
             E = ctx.jacs[fi][ea]  # (B, r, Te)
             contrib = jnp.einsum("bri,brj->bij", E, E)
             ete = ete + self._reduce_e(fi, contrib)
-        De = D[ss.e_group]  # (P, Te)
+        De = self._gather_e(D)  # (P, Te)
         ete = ete + jax.vmap(jnp.diag)(De * De)
         # Explicit SPD inverse of the point blocks (invert_psd_matrix.h:44,
         # schur_eliminator_impl.h e-block inversion): closed-form for the
@@ -528,6 +546,19 @@ class SchurOperator:
         if self.ss.point_sharding is None:
             return a
         return jax.lax.with_sharding_constraint(a, self.ss.point_sharding)
+
+    def _gather_e(self, v: jax.Array) -> jax.Array:
+        """(P, Te) view of the e coordinates of a tangent vector —
+        dynamic_slice when e_slice says they are contiguous (a (P, Te)
+        general gather costs ~60 s of TPU compile)."""
+        ss = self.ss
+        if ss.e_slice is not None:
+            (start,) = ss.e_slice
+            n = ss.num_points * ss.e_tangent_size
+            return jax.lax.dynamic_slice(v, (start,), (n,)).reshape(
+                ss.num_points, ss.e_tangent_size
+            )
+        return v[ss.e_group]
 
     def _reduce_e(self, fi: int, contrib: jax.Array) -> jax.Array:
         """Sum per-instance contributions into per-point slots (P, ...):
@@ -571,7 +602,13 @@ class SchurOperator:
     def _embed_e(self, u: jax.Array) -> jax.Array:
         """(P, Te) point vector -> full tangent vector (zero on f)."""
         z = jnp.zeros((self.ctx.num_tangent,), dtype=self.dtype)
-        return z.at[self.ss.e_group].set(u, unique_indices=True)
+        ss = self.ss
+        if ss.e_slice is not None:
+            (start,) = ss.e_slice
+            return jax.lax.dynamic_update_slice(
+                z, u.astype(self.dtype).reshape(-1), (start,)
+            )
+        return z.at[ss.e_group].set(u, unique_indices=True)
 
     def _e_times(self, u: jax.Array) -> Tuple[jax.Array, ...]:
         """E u for a point-space vector u (P, Te) -> per-family (B, r)
@@ -626,7 +663,7 @@ class SchurOperator:
         r_f - F'E (E'E + De^2)^{-1} r_e. Backs mixed-precision iterative
         refinement of Schur solves."""
         ss = self.ss
-        r_e = r[ss.e_group]  # (P, Te)
+        r_e = self._gather_e(r)  # (P, Te)
         u = self._solve_ete(r_e)
         w = self._e_times(u)  # E u in residual space
         corr = self.ctx.rmatvec(w, skip=ss.e_arg)  # F'E u
@@ -638,7 +675,7 @@ class SchurOperator:
         ss = self.ss
         x_f = x_f * ss.f_mask
         EtFx = self._edot(self.ctx.matvec(x_f, skip=ss.e_arg))  # (P, Te)
-        u = self._solve_ete(r[ss.e_group] - EtFx)
+        u = self._solve_ete(self._gather_e(r) - EtFx)
         return x_f + self._embed_e(u)
 
     def back_substitute(self, x_f: jax.Array) -> jax.Array:

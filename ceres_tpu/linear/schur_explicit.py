@@ -574,9 +574,17 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
         Y[T] = jnp.concatenate(ys + [pad], axis=0)
 
     for cc in plan.corr:
-        Wa = W[cc.T1][cc.a_idx]  # (C, K, Te, T1)
-        Yb = Y[cc.T2][cc.b_idx]  # (C, K, Te, T2)
-        blocks = -jnp.einsum("ckei,ckej->cij", Wa, Yb)
+        C, K = cc.a_idx.shape
+        # 1-D-index gathers + major-dim-only reshapes + one dot_general
+        # contracting (k, e) jointly. The equivalent 2-D-index gather
+        # with a (Te, T) tail + 4-D einsum costs ~3x the XLA compile
+        # time at BAL scale (benchmarks/compile_micro2.py: 27s vs 9.5s)
+        # for identical math: blocks[c,i,j] = -sum_{k,e} Wa Yb.
+        Wa = W[cc.T1][cc.a_idx.reshape(-1)].reshape(C, K * Te, cc.T1)
+        Yb = Y[cc.T2][cc.b_idx.reshape(-1)].reshape(C, K * Te, cc.T2)
+        blocks = -jax.lax.dot_general(
+            Wa, Yb, (((1,), (1,)), ((0,), (0,)))
+        )
         sites.append(
             CellSite(cc.diagonal, cc.rows, cc.cols, cc.inv_map, cc.offs)
         )

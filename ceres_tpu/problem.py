@@ -154,6 +154,73 @@ def _loss_structure(loss: Optional[LossFunction]):
     return jax.tree_util.tree_structure(loss)
 
 
+class BlockGroups:
+    """Block-diagonal group coordinates {tangent_size: (G_T, T) int32}
+    plus STATIC contiguity metadata.
+
+    When a size-group's coordinates form one contiguous ascending range
+    of the tangent vector (``slice_of(T) = (start, G)``), gathers and
+    scatters against that group lower to ``dynamic_slice`` /
+    ``dynamic_update_slice`` instead of general gather/scatter — XLA's
+    TPU codegen for a 200k-row gather costs ~60 s of COMPILE time while
+    the slice form is free (benchmarks/compile_micro3.py); runtime also
+    favors the slice. Duck-types the old plain-dict interface.
+    """
+
+    def __init__(self, idx, slices):
+        self.idx = dict(idx)
+        self.slices = dict(slices)
+
+    def items(self):
+        return self.idx.items()
+
+    def keys(self):
+        return self.idx.keys()
+
+    def __contains__(self, T):
+        return T in self.idx
+
+    def __getitem__(self, T):
+        return self.idx[T]
+
+    def slice_of(self, T):
+        return self.slices.get(T)
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.idx))
+        children = tuple(self.idx[k] for k in keys)
+        aux = (keys, tuple(self.slices.get(k) for k in keys))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, slices = aux
+        return cls(dict(zip(keys, children)), dict(zip(keys, slices)))
+
+
+jax.tree_util.register_pytree_node(
+    BlockGroups,
+    lambda g: g.tree_flatten(),
+    BlockGroups.tree_unflatten,
+)
+
+
+def _group_slices(groups) -> dict:
+    """{T: (start, G) | None}: contiguity of each coordinate group."""
+    out = {}
+    for T, tab in groups.items():
+        tab = np.asarray(tab)
+        flat = tab.ravel()
+        start = int(flat[0]) if flat.size else 0
+        if flat.size and np.array_equal(
+            flat, np.arange(start, start + flat.size, dtype=flat.dtype)
+        ):
+            out[T] = (start, tab.shape[0])
+        else:
+            out[T] = None
+    return out
+
+
 class Problem:
     """Nonlinear least-squares problem: min 0.5 sum_i rho_i(||r_i||^2).
 
@@ -778,14 +845,16 @@ class Program:
         self._build_families()
         self._jnp_bd_groups = None
 
-    def jnp_bd_groups(self) -> Dict[int, jax.Array]:
+    def jnp_bd_groups(self) -> "BlockGroups":
         """Device copies of the block-diagonal group coordinate matrices
         {tangent_size: (G_T, T) int32} — the grouped-vector layout used by
-        the plan-based reductions in the evaluator."""
+        the plan-based reductions in the evaluator — wrapped in
+        :class:`BlockGroups` with static contiguity metadata."""
         if self._jnp_bd_groups is None:
-            self._jnp_bd_groups = {
-                T: jnp.asarray(idx) for T, idx in self.bd_groups.items()
-            }
+            self._jnp_bd_groups = BlockGroups(
+                {T: jnp.asarray(idx) for T, idx in self.bd_groups.items()},
+                _group_slices(self.bd_groups),
+            )
         return self._jnp_bd_groups
 
     # -- state vectors ------------------------------------------------------

@@ -764,6 +764,10 @@ class TrustRegionMinimizer:
             if self._use_fused_iteration
             else None
         )
+        # Remember the factory-made step_fn: tests (and advanced users)
+        # may swap self.step_fn; the fused path must then stand down so
+        # the override is actually exercised.
+        self._default_step_fn = getattr(self, "step_fn", None)
 
         # Inner iterations (solver.h:560-600, coordinate descent).
         self.inner_minimizer = None
@@ -852,7 +856,9 @@ class TrustRegionMinimizer:
 
             # Compute step with the (scaled) jacobian.
             solver_t0 = time.time()
-            fused = self._use_fused_iteration
+            fused = self._use_fused_iteration and (
+                getattr(self, "step_fn", None) is self._default_step_fn
+            )
             if fused:
                 # One XLA call: step + candidate + cost + speculative
                 # re-evaluation; one device_get for every host scalar.
