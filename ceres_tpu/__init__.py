@@ -30,6 +30,7 @@ if os.environ.get("CERES_TPU_NO_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
 from ceres_tpu.types import (  # noqa: E402
+    LinearSolverOrderingType,
     LinearSolverType,
     PreconditionerType,
     TrustRegionStrategyType,
@@ -124,6 +125,7 @@ __all__ = [
     "loss",
     "manifold",
     "rotation",
+    "LinearSolverOrderingType",
     "LinearSolverType",
     "PreconditionerType",
     "TrustRegionStrategyType",

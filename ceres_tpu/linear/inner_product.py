@@ -220,6 +220,8 @@ def host_normal_factor_solve(
     cell_values,
     D: np.ndarray,
     rhs: np.ndarray,
+    ordering: str = "AMD",
+    use_postordering: bool = False,
 ):
     """Host: bincount-scatter cell values into CSC data, add D^2,
     refactorize on the cached symbolic handle, solve. Returns
@@ -235,17 +237,20 @@ def host_normal_factor_solve(
     D64 = np.asarray(D, dtype=np.float64)
     data[assembly.diag_pos] += D64 * D64
 
-    chol = assembly.cholesky
+    if assembly.cholesky is None:
+        assembly.cholesky = {}
+    chol = assembly.cholesky.get((ordering, use_postordering))
     if chol is None:
         try:
             from ceres_tpu.linear.sparse_cholesky import SparseCholesky
 
             chol = SparseCholesky(
-                assembly.n, assembly.indptr, assembly.indices
+                assembly.n, assembly.indptr, assembly.indices,
+                ordering=ordering, use_postordering=use_postordering,
             )
         except RuntimeError:
             chol = "scipy"
-        assembly.cholesky = chol
+        assembly.cholesky[(ordering, use_postordering)] = chol
     if chol == "scipy":
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla

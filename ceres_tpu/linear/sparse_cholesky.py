@@ -49,17 +49,127 @@ def _f64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+def nested_dissection_order(
+    n: int, Ap: np.ndarray, Ai: np.ndarray, leaf: int = 128
+) -> np.ndarray:
+    """Nested-dissection elimination order (reorder_program.cc NESDIS
+    analog): recursive bisection by BFS level-set separators, leaves in
+    natural order. Pure host-side numpy/scipy — the ordering runs once
+    per sparsity pattern.
+
+    Returns ``perm`` with perm[k] = original column eliminated at step k
+    (parts first, separator last at every level)."""
+    import scipy.sparse as sp
+    from scipy.sparse import csgraph
+
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    U = sp.csc_matrix(
+        (np.ones(len(Ai), dtype=np.int8), Ai, Ap), shape=(n, n)
+    )
+    A = ((U + U.T) > 0).tocsr()
+    A.setdiag(0)
+    A.eliminate_zeros()
+
+    # Explicit-stack recursion. A plain node-set recurses; a
+    # ("sep", nodes) entry emits a separator AFTER both of its parts
+    # (pushed above it on the LIFO stack) have been fully emitted.
+    order: list = []
+    stack: list = [np.arange(n, dtype=np.int64)]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, tuple):
+            order.append(item[1])
+            continue
+        nodes = item
+        if nodes.size == 0:
+            continue
+        if nodes.size <= leaf:
+            order.append(nodes)
+            continue
+        S = A[nodes][:, nodes].tocsr()
+        ncomp, labels = csgraph.connected_components(S, directed=False)
+        if ncomp > 1:
+            for c in range(ncomp):
+                stack.append(nodes[labels == c])
+            continue
+        # pseudo-peripheral start: BFS from 0, restart from the farthest
+        lvl = csgraph.breadth_first_order(
+            S, 0, directed=False, return_predecessors=False
+        )
+        far = int(lvl[-1])
+        dist = csgraph.shortest_path(
+            S, method="BF", unweighted=True, indices=far
+        )
+        maxd = int(dist.max())
+        if maxd < 2:
+            order.append(nodes)  # near-clique: no useful separator
+            continue
+        mid = maxd // 2
+        sep = nodes[dist == mid]
+        left = nodes[dist < mid]
+        right = nodes[dist > mid]
+        stack.append(("sep", sep))
+        stack.append(right)
+        stack.append(left)
+    perm = (
+        np.concatenate(order) if order else np.zeros(0, np.int64)
+    )
+    return perm.astype(np.int32)
+
+
+def _etree_postorder(parent: np.ndarray) -> np.ndarray:
+    """Postorder of the elimination tree (CSparse cs_post analog):
+    children before parents, subtrees contiguous. ``parent[v]`` is the
+    etree parent of v, or <0 / >=n for roots."""
+    n = len(parent)
+    first_child = np.full(n, -1, dtype=np.int64)
+    next_sib = np.full(n, -1, dtype=np.int64)
+    for v in range(n - 1, -1, -1):
+        p = parent[v]
+        if 0 <= p < n:
+            next_sib[v] = first_child[p]
+            first_child[p] = v
+    post = np.empty(n, dtype=np.int32)
+    k = 0
+    for root in range(n):
+        p = parent[root]
+        if 0 <= p < n:
+            continue
+        # iterative DFS emitting postorder
+        stack = [root]
+        while stack:
+            v = stack[-1]
+            c = first_child[v]
+            if c >= 0:
+                first_child[v] = -1  # mark children as consumed
+                while c >= 0:
+                    stack.append(int(c))
+                    c = next_sib[c]
+                # reverse the just-pushed children so postorder follows
+                # child order (cosmetic; any child order is valid)
+            else:
+                post[k] = v
+                k += 1
+                stack.pop()
+    assert k == n, "etree postorder did not visit every node"
+    return post
+
+
 class SparseCholesky:
-    """Simplicial LL' of a sparse SPD matrix with minimum-degree
+    """Simplicial LL' of a sparse SPD matrix with a fill-reducing
     ordering (sparse_cholesky.h:71-112 analog).
 
     ``Ap``/``Ai`` describe the UPPER-triangular CSC pattern (diagonal
     present, rows sorted). ``factorize(Ax)`` may be called repeatedly
-    with new values on the same pattern.
-    """
+    with new values on the same pattern. ``ordering`` selects AMD
+    (native lazy-heap minimum degree), NESDIS (BFS-separator nested
+    dissection, reorder_program.cc:114-613 analog) or NATURAL;
+    ``use_postordering`` additionally post-orders the elimination tree
+    (suitesparse.h use_postordering semantics)."""
 
     def __init__(self, n: int, Ap: np.ndarray, Ai: np.ndarray,
-                 ordering: str = "AMD"):
+                 ordering: str = "AMD", use_postordering: bool = False):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("native core unavailable")
@@ -75,20 +185,35 @@ class SparseCholesky:
             )
             if rc != 0:
                 raise RuntimeError("mindeg_order failed")
+        elif ordering == "NESDIS" and self.n > 0:
+            self.perm = nested_dissection_order(self.n, self.Ap, self.Ai)
         else:  # NATURAL
             self.perm = np.arange(self.n, dtype=np.int32)
+        self._build_symbolic()
+        if use_postordering and self.n > 0:
+            post = _etree_postorder(self.parent)
+            if not np.array_equal(post, np.arange(self.n)):
+                # Re-analyze with the postordered elimination order:
+                # step k now eliminates original column perm[post[k]].
+                self._lib.sparse_chol_symbolic_free(self._handle)
+                self._handle = None
+                self.perm = self.perm[post]
+                self._build_symbolic()
+        self._factorized = False
+
+    def _build_symbolic(self):
         self.parent = np.empty(self.n, dtype=np.int32)
         self.Lp = np.empty(self.n + 1, dtype=np.int64)
         # Opaque native handle: keeps the permuted pattern + etree so
         # factorize() is numeric-only (cholmod_analyze/cholmod_factorize
         # split of suitesparse.h:306).
-        self._handle = lib.sparse_chol_symbolic_new(
+        self._handle = self._lib.sparse_chol_symbolic_new(
             self.n, _i64p(self.Ap), _i32p(self.Ai), _i32p(self.perm),
             _i32p(self.parent), _i64p(self.Lp),
         )
         if not self._handle:
             raise RuntimeError("sparse_chol_symbolic_new failed")
-        self.nnz_L = int(lib.sparse_chol_symbolic_nnz(self._handle))
+        self.nnz_L = int(self._lib.sparse_chol_symbolic_nnz(self._handle))
         self.Li = np.empty(self.nnz_L, dtype=np.int32)
         self.Lx = np.empty(self.nnz_L, dtype=np.float64)
         self._factorized = False
@@ -193,6 +318,8 @@ def host_sparse_normal_solve(
     D: np.ndarray,
     rhs: np.ndarray,
     args,
+    ordering: str = "AMD",
+    use_postordering: bool = False,
 ) -> Tuple[np.ndarray, np.int32, np.int32]:
     """Assemble + factorize + solve on the host. ``args`` is one list
     per residual family, each holding that family's per-argument
@@ -205,10 +332,16 @@ def host_sparse_normal_solve(
         # between two patterns would silently reuse the wrong symbolic
         # factorization (matters for dynamic_sparsity, where the pattern
         # changes every iteration).
-        key = (H.shape[0], H.indptr.tobytes(), H.indices.tobytes())
+        key = (
+            H.shape[0], H.indptr.tobytes(), H.indices.tobytes(),
+            ordering, use_postordering,
+        )
         chol = _SYMBOLIC_CACHE.get(key)
         if chol is None:
-            chol = SparseCholesky(H.shape[0], H.indptr, H.indices)
+            chol = SparseCholesky(
+                H.shape[0], H.indptr, H.indices,
+                ordering=ordering, use_postordering=use_postordering,
+            )
             if len(_SYMBOLIC_CACHE) >= _CACHE_CAP:
                 _SYMBOLIC_CACHE.clear()
             _SYMBOLIC_CACHE[key] = chol

@@ -156,6 +156,8 @@ def host_sparse_schur_factor_solve(
     cell_values: List[np.ndarray],
     df: np.ndarray,
     rhs_red: np.ndarray,
+    ordering: str = "AMD",
+    use_postordering: bool = False,
 ) -> Tuple[np.ndarray, int]:
     """Host half of the SPARSE_SCHUR step: scatter cell values into the
     CSC data with one bincount, add damping, refactorize on the cached
@@ -169,17 +171,20 @@ def host_sparse_schur_factor_solve(
     df64 = np.asarray(df, dtype=np.float64)
     data[assembly.diag_pos] += df64 * df64
 
-    chol = assembly.cholesky
+    if assembly.cholesky is None:
+        assembly.cholesky = {}
+    chol = assembly.cholesky.get((ordering, use_postordering))
     if chol is None:
         try:
             from ceres_tpu.linear.sparse_cholesky import SparseCholesky
 
             chol = SparseCholesky(
-                assembly.nf, assembly.indptr, assembly.indices
+                assembly.nf, assembly.indptr, assembly.indices,
+                ordering=ordering, use_postordering=use_postordering,
             )
         except RuntimeError:
             chol = "scipy"
-        assembly.cholesky = chol
+        assembly.cholesky[(ordering, use_postordering)] = chol
     if chol == "scipy":
         # Native core unavailable: SuperLU fallback (Eigen-fallback
         # analog when CHOLMOD is absent).
@@ -263,7 +268,9 @@ def make_sparse_schur_step_fn(config, solve_aux):
         )
         blocks_h, rhs_h, df_h = jax.device_get((blocks, rhs_red, df))
         xf, term = host_sparse_schur_factor_solve(
-            assembly, list(blocks_h), df_h, rhs_h
+            assembly, list(blocks_h), df_h, rhs_h,
+            ordering=getattr(config, "ordering_type", "AMD"),
+            use_postordering=getattr(config, "use_postordering", False),
         )
         if term != CG_SUCCESS:
             nt = ctx.num_tangent

@@ -17,6 +17,7 @@ import numpy as np
 from ceres_tpu.problem import Problem
 from ceres_tpu.types import (
     DoglegType,
+    LinearSolverOrderingType,
     LinearSolverType,
     LineSearchDirectionType,
     LineSearchType,
@@ -89,6 +90,17 @@ class SolverOptions:
     dynamic_sparsity: bool = False
     use_mixed_precision_solves: bool = False
     max_num_refinement_iterations: int = 0
+    # Fill-reducing ordering of the host sparse factorization
+    # (solver.h:410-455): AMD (native lazy-heap minimum degree) or
+    # NESDIS (recursive BFS-separator nested dissection). Applies to
+    # SPARSE_NORMAL_CHOLESKY and SPARSE_SCHUR.
+    linear_solver_ordering_type: LinearSolverOrderingType = (
+        LinearSolverOrderingType.AMD
+    )
+    # Post-order the elimination tree after the fill-reducing ordering
+    # (solver.h use_postordering; reorder_program.cc:114-180): improves
+    # factor locality at the cost of a second symbolic pass.
+    use_postordering: bool = False
     # Evaluation dtype policy (TPU-specific extension): None keeps the
     # Ceres default of float64. "float32" evaluates residuals/Jacobians
     # and runs linear solves in f32 — on TPU, f64 is software-emulated

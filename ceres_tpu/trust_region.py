@@ -156,6 +156,8 @@ class _SolveConfig:
     num_refinement_iterations: int
     num_tangent: int
     dynamic_sparsity: bool = False
+    ordering_type: str = "AMD"  # LinearSolverOrderingType name
+    use_postordering: bool = False
 
 
 def _config_from_options(options, program: Program) -> _SolveConfig:
@@ -177,6 +179,13 @@ def _config_from_options(options, program: Program) -> _SolveConfig:
         ),
         num_tangent=program.num_tangent,
         dynamic_sparsity=getattr(options, "dynamic_sparsity", False),
+        ordering_type=getattr(
+            options, "linear_solver_ordering_type", None
+        ).name
+        if getattr(options, "linear_solver_ordering_type", None)
+        is not None
+        else "AMD",
+        use_postordering=getattr(options, "use_postordering", False),
     )
 
 
@@ -642,7 +651,9 @@ def _make_sparse_lm_step_fn(config: _SolveConfig, program=None):
             blocks = _normal_cells_impl(ctx, plan)
             blocks_h, D_h, rhs_h = jax.device_get((blocks, D, rhs))
             y, term = host_normal_factor_solve(
-                assembly, list(blocks_h), D_h, rhs_h
+                assembly, list(blocks_h), D_h, rhs_h,
+                ordering=config.ordering_type,
+                use_postordering=config.use_postordering,
             )
             step, mcc = _sparse_finish_impl(
                 ctx, jnp.asarray(y).astype(D.dtype)
@@ -674,6 +685,8 @@ def _make_sparse_lm_step_fn(config: _SolveConfig, program=None):
             np.asarray(D, dtype=np.float64),
             np.asarray(rhs, dtype=np.float64),
             args,
+            ordering=config.ordering_type,
+            use_postordering=config.use_postordering,
         )
         step, mcc = _sparse_finish_impl(ctx, jnp.asarray(y).astype(D.dtype))
         return step, mcc, jnp.asarray(lin_iters), jnp.asarray(term)

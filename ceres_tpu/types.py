@@ -39,6 +39,16 @@ class LinearSolverType(_StrEnum):
     CGNR = enum.auto()
 
 
+class LinearSolverOrderingType(_StrEnum):
+    """Fill-reducing ordering for the host sparse factorization
+    (types.h:204-209): AMD = approximate minimum degree (here: the
+    native core's lazy-heap minimum-degree analog), NESDIS = nested
+    dissection (here: recursive BFS-separator bisection)."""
+
+    AMD = enum.auto()
+    NESDIS = enum.auto()
+
+
 class PreconditionerType(_StrEnum):
     """Analog of PreconditionerType (types.h:93-119)."""
 

@@ -396,3 +396,55 @@ class TestInnerProductAssembly:
         # between the two self-pair sites are counted once per site).
         assert cell_scalars <= 9 * 4
         assert cell_scalars < nnz_J / 10
+
+
+class TestOrderings:
+    """Fill-reducing ordering options (solver.h:410-455 parity):
+    NESDIS nested dissection and etree postordering must produce the
+    same solutions as AMD on the same systems."""
+
+    @needs_native
+    @pytest.mark.parametrize("ordering", ["AMD", "NESDIS", "NATURAL"])
+    @pytest.mark.parametrize("post", [False, True])
+    def test_orderings_solve_identically(self, ordering, post):
+        n = 80
+        Hu, H = random_spd_csc(n, 0.06, 7)
+        chol = sc.SparseCholesky(
+            n, Hu.indptr, Hu.indices, ordering=ordering,
+            use_postordering=post,
+        )
+        # perm must be a permutation of 0..n-1
+        assert sorted(chol.perm.tolist()) == list(range(n))
+        assert chol.factorize(Hu.data) == 0
+        b = np.arange(1.0, n + 1.0)
+        np.testing.assert_allclose(
+            chol.solve(b), np.linalg.solve(H, b), rtol=1e-9
+        )
+
+    def test_nested_dissection_order_banded(self):
+        # banded graph: ND must recurse and produce a valid permutation
+        import scipy.sparse as sp2
+
+        n = 500
+        diags = sp2.diags(
+            [np.ones(n), np.ones(n - 1), np.ones(n - 1)], [0, 1, -1]
+        )
+        Hu = sp2.triu(diags.tocsc(), format="csc")
+        perm = sc.nested_dissection_order(n, Hu.indptr, Hu.indices)
+        assert sorted(perm.tolist()) == list(range(n))
+
+    @needs_native
+    def test_ordering_option_through_solver(self):
+        import ceres_tpu as ct2
+
+        p = _tiny_residual_problem(seed=12, n_blocks=10)
+        opts = ct.SolverOptions(
+            linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+            linear_solver_ordering_type=(
+                ct2.LinearSolverOrderingType.NESDIS
+            ),
+            use_postordering=True,
+            max_num_iterations=50,
+        )
+        s = ct.solve(opts, p)
+        assert s.is_solution_usable()
