@@ -172,6 +172,10 @@ def run_ceres_tpu(prob):
     t0 = time.time()
     summary2 = ct.solve(opts, problem2)
     host_loop_s = time.time() - t0
+    # The loop itself (minimizer phase), excluding the per-solve
+    # preprocessor (program build, reduce plans, index uploads) that the
+    # fused path's solve_s also excludes (reported there as setup_s).
+    host_loop_minimize_s = summary2.minimizer_time_in_seconds
 
     iters = len(summary.iterations)
     lin_iters = summary.num_linear_solver_iterations
@@ -187,6 +191,7 @@ def run_ceres_tpu(prob):
         "setup_s": setup_s,
         "compile_s": compile_s,
         "host_loop_s": host_loop_s,
+        "host_loop_minimize_s": host_loop_minimize_s,
         "host_loop_final_cost": summary2.final_cost,
         "initial_cost": summary.initial_cost,
         "final_cost": summary.final_cost,

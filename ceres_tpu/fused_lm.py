@@ -48,6 +48,34 @@ class _FusedState(NamedTuple):
     invalid_in_a_row: jax.Array
     termination: jax.Array  # 0 = running, else TerminationType-ish code
     linear_iterations: jax.Array  # cumulative CG/linear iterations
+    # gradient norms of the CURRENT iterate (for the iteration trace and
+    # the final summary record) — f64 scalars.
+    gmax: jax.Array
+    gnorm: jax.Array
+    # whether the previous trip accepted its step: the gradient-tolerance
+    # test only fires on the iterate an ACCEPTED step produced
+    # (trust_region_minimizer.cc:826-837 checks after HandleSuccessfulStep)
+    last_accept: jax.Array
+
+
+class _FusedTrace(NamedTuple):
+    """Device-side per-iteration log (trace_len slots). ``state_*`` rows
+    describe the iterate ENTERING iteration t (= the host loop's record
+    t's post-step state); ``step_*`` rows describe the step taken DURING
+    iteration t (= host record t+1's step fields). solve() reconstructs
+    the exact IterationSummary list from the two halves."""
+
+    state_cost: jax.Array  # (L,) f64
+    state_gmax: jax.Array
+    state_gnorm: jax.Array
+    state_radius: jax.Array
+    step_norm: jax.Array  # (L,)
+    step_rho: jax.Array
+    step_cost_change: jax.Array
+    step_lin_iters: jax.Array  # (L,) i32
+    step_valid: jax.Array  # (L,) bool
+    step_accept: jax.Array  # (L,) bool
+    step_xnorm: jax.Array  # (L,) ||x|| entering the step (param tol)
 
 
 _RUNNING = 0
@@ -72,7 +100,7 @@ class _FusedConfig:
     num_tangent: int
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "trace_len"))
 def _fused_minimize(
     x0,
     families,
@@ -81,9 +109,13 @@ def _fused_minimize(
     max_num_iterations,
     config: _FusedConfig,
     groups=None,
+    trace_len: int = 0,
 ):
     # max_num_iterations is a DEVICE scalar (not static): warm-up solves
     # with a different budget share the compiled while_loop.
+    # ``trace_len`` > 0 additionally carries a _FusedTrace of per-
+    # iteration records (see solve()'s fused path) — the device-side
+    # replacement for the host loop's IterationSummary bookkeeping.
     sc = config.solve
 
     def eval_full(x):
@@ -92,8 +124,16 @@ def _fused_minimize(
         )
 
     cost0, grad0, _ = eval_full(x0)
+    g0 = grad0.astype(jnp.float64)
+    gmax0 = jnp.max(jnp.abs(g0)) if g0.size else jnp.asarray(0.0)
+    gnorm0 = jnp.linalg.norm(g0)
 
-    def body(s: _FusedState):
+    def body_traced(carry):
+        s, tr = carry
+        s2, tr2 = _body(s, tr)
+        return s2, tr2
+
+    def _body(s: _FusedState, tr):
         cost, grad, ctx = eval_full(s.x)
 
         scaling = None
@@ -143,9 +183,6 @@ def _fused_minimize(
         radius = jnp.where(accept, r_acc, r_rej)
         decrease_factor = jnp.where(accept, 2.0, s.decrease_factor * 2.0)
 
-        new_x = jnp.where(accept, candidate, s.x)
-        new_cost = jnp.where(accept, cand_cost, cost)
-
         invalid_in_a_row = jnp.where(
             step_is_valid, 0, s.invalid_in_a_row + 1
         )
@@ -156,7 +193,9 @@ def _fused_minimize(
             (candidate - s.x).astype(jnp.float64)
         )
         cost_change = jnp.abs(cost - cand_cost)
-        gmax = jnp.max(jnp.abs(grad.astype(jnp.float64)))
+        g64 = grad.astype(jnp.float64)
+        gmax = jnp.max(jnp.abs(g64))
+        gnorm = jnp.linalg.norm(g64)
 
         param_tol = step_is_valid & (
             step_norm
@@ -166,10 +205,22 @@ def _fused_minimize(
         func_tol = step_is_valid & (
             cost_change <= config.function_tolerance * cost
         )
-        # Tested unconditionally at the loop-top iterate (like the host
-        # minimizer): a converged point whose trailing steps are rejected
-        # still terminates with CONVERGENCE, not min-radius/NO_CONVERGENCE.
-        grad_tol = gmax <= config.gradient_tolerance
+
+        # Host-loop parity (traced mode): the reference checks the
+        # parameter/function tolerances BEFORE accepting the candidate
+        # and returns the pre-step iterate
+        # (trust_region_minimizer.cc:720-766) — revert the accept when
+        # one of them fires. The plain fused solver keeps the candidate
+        # (it is never worse by more than the tolerance).
+        keep = accept
+        if tr is not None:
+            keep = accept & ~(param_tol | func_tol)
+        new_x = jnp.where(keep, candidate, s.x)
+        new_cost = jnp.where(keep, cand_cost, cost)
+        # Host-loop parity: the gradient test fires only on iterates a
+        # successful step just produced (the loop-top gradient belongs
+        # to the previous trip's accepted candidate).
+        grad_tol = s.last_accept & (gmax <= config.gradient_tolerance)
         radius_tol = radius <= config.min_trust_region_radius
         too_invalid = invalid_in_a_row >= config.max_invalid_steps
 
@@ -179,7 +230,7 @@ def _fused_minimize(
             jnp.where(too_invalid, _FAILURE, _RUNNING),
         ).astype(jnp.int32)
 
-        return _FusedState(
+        new_state = _FusedState(
             x=new_x,
             cost=new_cost,
             radius=radius,
@@ -192,12 +243,31 @@ def _fused_minimize(
             termination=termination,
             linear_iterations=s.linear_iterations
             + lin_iters.astype(jnp.int32),
+            gmax=gmax,
+            gnorm=gnorm,
+            last_accept=accept,
         )
-
-    def cond(s: _FusedState):
-        return (s.termination == _RUNNING) & (
-            s.iteration < max_num_iterations
+        if tr is None:
+            return new_state, None
+        t = s.iteration
+        tr2 = _FusedTrace(
+            state_cost=tr.state_cost.at[t].set(cost, mode="drop"),
+            state_gmax=tr.state_gmax.at[t].set(gmax, mode="drop"),
+            state_gnorm=tr.state_gnorm.at[t].set(gnorm, mode="drop"),
+            state_radius=tr.state_radius.at[t].set(s.radius, mode="drop"),
+            step_norm=tr.step_norm.at[t].set(step_norm, mode="drop"),
+            step_rho=tr.step_rho.at[t].set(rho, mode="drop"),
+            step_cost_change=tr.step_cost_change.at[t].set(
+                cost - cand_cost, mode="drop"
+            ),
+            step_lin_iters=tr.step_lin_iters.at[t].set(
+                lin_iters.astype(jnp.int32), mode="drop"
+            ),
+            step_valid=tr.step_valid.at[t].set(step_is_valid, mode="drop"),
+            step_accept=tr.step_accept.at[t].set(accept, mode="drop"),
+            step_xnorm=tr.step_xnorm.at[t].set(x_norm, mode="drop"),
         )
+        return new_state, tr2
 
     init = _FusedState(
         x=x0,
@@ -216,8 +286,43 @@ def _fused_minimize(
             _RUNNING,
         ).astype(jnp.int32),
         linear_iterations=jnp.asarray(0, jnp.int32),
+        gmax=gmax0,
+        gnorm=gnorm0,
+        # grad0 is checked by the init-termination below; body checks
+        # start from trip 1, whose loop-top iterate is x0 again only if
+        # trip 0... (True keeps the host behavior: it0 counts successful).
+        last_accept=jnp.asarray(True),
     )
-    final = jax.lax.while_loop(cond, body, init)
+    if trace_len > 0:
+        L = trace_len
+        f64z = jnp.zeros((L,), jnp.float64)
+        tr0 = _FusedTrace(
+            state_cost=f64z,
+            state_gmax=f64z,
+            state_gnorm=f64z,
+            state_radius=f64z,
+            step_norm=f64z,
+            step_rho=f64z,
+            step_cost_change=f64z,
+            step_lin_iters=jnp.zeros((L,), jnp.int32),
+            step_valid=jnp.zeros((L,), bool),
+            step_accept=jnp.zeros((L,), bool),
+            step_xnorm=f64z,
+        )
+        final, trace = jax.lax.while_loop(
+            lambda c: (c[0].termination == _RUNNING)
+            & (c[0].iteration < max_num_iterations),
+            body_traced,
+            (init, tr0),
+        )
+        return final, cost0, trace
+
+    def cond(s: _FusedState):
+        return (s.termination == _RUNNING) & (
+            s.iteration < max_num_iterations
+        )
+
+    final = jax.lax.while_loop(cond, lambda s: _body(s, None)[0], init)
     return final, cost0
 
 
@@ -316,3 +421,225 @@ def fused_solve(options, problem):
     if summary.is_solution_usable():
         problem.write_back(np.asarray(x, dtype=np.float64))
     return summary
+
+
+# ---------------------------------------------------------------------------
+# Traced fused minimize: ct.solve()'s fast path
+# ---------------------------------------------------------------------------
+
+_HOST_DRIVEN = ("SPARSE_NORMAL_CHOLESKY", "SPARSE_SCHUR")
+
+_TRACE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def fused_traced_eligible(options, program, config: _SolveConfig) -> bool:
+    """Whether ct.solve can run the fully-fused on-device loop and still
+    produce the complete Summary/IterationSummary record. Any feature
+    that needs HOST work between step and candidate (bounds projection,
+    inner iterations, callbacks, gradient checks, dumps, host-driven
+    sparse factorizations, live progress printing, non-monotonic step
+    bookkeeping, wall-clock budgets) falls back to the host loop."""
+    from ceres_tpu.types import MinimizerType, TrustRegionStrategyType
+
+    return (
+        options.minimizer_type == MinimizerType.TRUST_REGION
+        and options.trust_region_strategy_type
+        == TrustRegionStrategyType.LEVENBERG_MARQUARDT
+        and not program.has_bounds
+        and not options.use_inner_iterations
+        and not options.callbacks
+        and options.evaluation_callback is None
+        and not options.check_gradients
+        and not options.update_state_every_iteration
+        and not options.use_nonmonotonic_steps
+        and not options.minimizer_progress_to_stdout
+        and not (
+            options.trust_region_problem_dump_directory
+            and options.trust_region_minimizer_iterations_to_dump
+        )
+        and options.max_solver_time_in_seconds >= 1e6
+        and config.linear_solver_type is not None
+        and config.linear_solver_type.name not in _HOST_DRIVEN
+        and 0 < options.max_num_iterations <= _TRACE_BUCKETS[-1]
+    )
+
+
+def minimize_fused_traced(resolved, program, x0, summary):
+    """Run the fused on-device LM loop with a per-iteration trace and
+    fill ``summary`` with the SAME records/termination the host loop
+    would produce (one device round-trip for the whole solve). Returns
+    the final parameter vector (np.ndarray)."""
+    from ceres_tpu.trust_region import IterationSummary
+
+    config = _FusedConfig(
+        solve=_config_from_options(resolved, program),
+        function_tolerance=resolved.function_tolerance,
+        gradient_tolerance=resolved.gradient_tolerance,
+        parameter_tolerance=resolved.parameter_tolerance,
+        min_relative_decrease=resolved.min_relative_decrease,
+        initial_trust_region_radius=resolved.initial_trust_region_radius,
+        max_trust_region_radius=resolved.max_trust_region_radius,
+        min_trust_region_radius=resolved.min_trust_region_radius,
+        max_invalid_steps=resolved.max_num_consecutive_invalid_steps,
+        jacobi_scaling=resolved.jacobi_scaling,
+        apply_loss=True,
+        num_tangent=program.num_tangent,
+    )
+    solve_aux = _build_solve_aux(resolved, program)
+    trace_len = next(
+        b for b in _TRACE_BUCKETS if b >= resolved.max_num_iterations
+    )
+    t0 = time.time()
+    final, cost0, trace = _fused_minimize(
+        x0,
+        program.families,
+        program.plus_struct,
+        solve_aux,
+        jnp.asarray(resolved.max_num_iterations, jnp.int32),
+        config,
+        program.jnp_bd_groups(),
+        trace_len=trace_len,
+    )
+    final_h, cost0_h, tr = jax.device_get((final, cost0, trace))
+    device_s = time.time() - t0
+    T = int(final_h.iteration)
+    fixed = summary.fixed_cost
+
+    # -- termination reason (host-loop priority order) ---------------------
+    opts = resolved
+    term_code = int(final_h.termination)
+    last = max(T - 1, 0)
+    reason = None
+    if T == 0:
+        # converged at iteration zero (gradient tolerance)
+        reason = "grad"
+    elif term_code == _CONVERGENCE:
+        snorm = float(tr.step_norm[last])
+        xnorm = float(tr.step_xnorm[last])
+        cchange = abs(float(tr.step_cost_change[last]))
+        prev_cost = float(tr.state_cost[last])
+        valid = bool(tr.step_valid[last])
+        had_success = (
+            int(final_h.successful_steps)
+            - int(bool(tr.step_accept[last]))
+            > 0
+        )
+        if (
+            valid
+            and had_success
+            and snorm
+            <= opts.parameter_tolerance * (xnorm + opts.parameter_tolerance)
+        ):
+            reason = "param"
+        elif valid and cchange <= opts.function_tolerance * prev_cost:
+            reason = "func"
+        elif float(final_h.gmax) <= opts.gradient_tolerance:
+            reason = "grad"
+        else:
+            reason = "radius"
+    elif term_code == _FAILURE:
+        reason = "invalid"
+    else:
+        reason = "max_iters"
+
+    # -- reconstruct the IterationSummary list -----------------------------
+    # Records the host loop appends: it_0 .. it_T, EXCEPT the final trip's
+    # record when the loop returned before appending (param/func/invalid).
+    emit_last = reason in ("grad", "radius", "max_iters")
+    records = []
+    it0 = IterationSummary(
+        iteration=0,
+        cost=float(tr.state_cost[0]) + fixed if T > 0 else float(cost0_h) + fixed,
+        gradient_max_norm=float(tr.state_gmax[0]) if T > 0 else float(final_h.gmax),
+        gradient_norm=float(tr.state_gnorm[0]) if T > 0 else float(final_h.gnorm),
+        trust_region_radius=float(tr.state_radius[0])
+        if T > 0
+        else opts.initial_trust_region_radius,
+        eta=opts.eta,
+        step_is_valid=True,
+        step_is_successful=True,
+    )
+    records.append(it0)
+    n_emit = T if emit_last else max(T - 1, 0)
+    for k in range(1, n_emit + 1):
+        if k < T:
+            cost_k = float(tr.state_cost[k])
+            gmax_k = float(tr.state_gmax[k])
+            gnorm_k = float(tr.state_gnorm[k])
+            radius_k = float(tr.state_radius[k])
+        else:
+            cost_k = float(final_h.cost)
+            gmax_k = float(final_h.gmax)
+            gnorm_k = float(final_h.gnorm)
+            radius_k = float(final_h.radius)
+        records.append(
+            IterationSummary(
+                iteration=k,
+                cost=cost_k + fixed,
+                cost_change=float(tr.step_cost_change[k - 1]),
+                gradient_max_norm=gmax_k,
+                gradient_norm=gnorm_k,
+                step_norm=float(tr.step_norm[k - 1]),
+                relative_decrease=float(tr.step_rho[k - 1]),
+                trust_region_radius=radius_k,
+                eta=opts.eta,
+                linear_solver_iterations=int(tr.step_lin_iters[k - 1]),
+                step_is_valid=bool(tr.step_valid[k - 1]),
+                step_is_successful=bool(tr.step_accept[k - 1]),
+            )
+        )
+    summary.iterations = records
+
+    # -- termination type + message (host-loop formats) --------------------
+    if reason == "param":
+        snorm = float(tr.step_norm[last])
+        xnorm = float(tr.step_xnorm[last])
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = (
+            f"Parameter tolerance reached. Relative step_norm: "
+            f"{snorm / (xnorm + opts.parameter_tolerance):e} <= "
+            f"{opts.parameter_tolerance:e}."
+        )
+    elif reason == "func":
+        cchange = abs(float(tr.step_cost_change[last]))
+        prev_cost = float(tr.state_cost[last])
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = (
+            f"Function tolerance reached. |cost_change|/cost: "
+            f"{cchange / prev_cost if prev_cost else 0.0:e} <= "
+            f"{opts.function_tolerance:e}"
+        )
+    elif reason == "grad":
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = (
+            f"Gradient tolerance reached. Gradient max norm: "
+            f"{float(final_h.gmax):e} <= {opts.gradient_tolerance:e}"
+        )
+    elif reason == "radius":
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = (
+            "Minimum trust region radius reached. Trust region radius: "
+            f"{float(final_h.radius):e} <= "
+            f"{opts.min_trust_region_radius:e}"
+        )
+    elif reason == "invalid":
+        summary.termination_type = TerminationType.FAILURE
+        summary.message = (
+            "Number of consecutive invalid steps more than "
+            "Solver::Options::max_num_consecutive_invalid_steps: "
+            f"{opts.max_num_consecutive_invalid_steps}"
+        )
+    else:
+        summary.termination_type = TerminationType.NO_CONVERGENCE
+        summary.message = (
+            "Maximum number of iterations reached. "
+            f"Number of iterations: {T}."
+        )
+
+    # Statistics: the whole solve is one device computation.
+    summary.linear_solver_time_in_seconds += device_s
+    summary.num_linear_solves += T
+    summary.num_residual_evaluations += T + 1
+    summary.num_jacobian_evaluations += T + 1
+    summary.num_linear_solver_iterations = int(final_h.linear_iterations)
+    return np.asarray(final_h.x)

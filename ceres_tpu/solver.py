@@ -618,11 +618,29 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
         from ceres_tpu.parallel import replicate
 
         x0 = replicate(x0, options.mesh)
+    minimizer = None
     if options.minimizer_type == MinimizerType.TRUST_REGION:
-        from ceres_tpu.trust_region import TrustRegionMinimizer
+        from ceres_tpu.fused_lm import (
+            fused_traced_eligible,
+            minimize_fused_traced,
+        )
+        from ceres_tpu.trust_region import (
+            TrustRegionMinimizer,
+            _config_from_options,
+        )
 
-        minimizer = TrustRegionMinimizer(program, resolved, summary)
-        x_final = minimizer.minimize(x0)
+        # Fast path: when no option needs host work inside the loop, the
+        # whole minimize runs as ONE device computation with a per-
+        # iteration trace, and the Summary/IterationSummary records are
+        # reconstructed from the trace — identical bookkeeping, one
+        # host round-trip total instead of one per iteration (decisive
+        # on a remote-TPU link).
+        _cfg = _config_from_options(resolved, program)
+        if fused_traced_eligible(resolved, program, _cfg):
+            x_final = minimize_fused_traced(resolved, program, x0, summary)
+        else:
+            minimizer = TrustRegionMinimizer(program, resolved, summary)
+            x_final = minimizer.minimize(x0)
     else:
         from ceres_tpu.line_search import LineSearchMinimizer
 
@@ -636,7 +654,7 @@ def solve(options: SolverOptions, problem: Problem) -> SolverSummary:
     # evaluations the minimizer routed through the Evaluator into the
     # summary counters (the trust-region loop accounts its own fused
     # calls directly).
-    ev = getattr(minimizer, "evaluator", None)
+    ev = getattr(minimizer, "evaluator", None) if minimizer else None
     if ev is not None and hasattr(ev, "execution_summary"):
         es = ev.execution_summary
         if options.minimizer_type != MinimizerType.TRUST_REGION:

@@ -16,6 +16,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.models import bal
 
+pytestmark = pytest.mark.slow  # generated BA solver-config matrix tier
+
 TOL = 1e-4  # bundle_adjustment_test_util.h:94
 
 

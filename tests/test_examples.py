@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 26 example smoke runs tier
+
 sys.path.insert(0, "/root/repo")
 
 FAST_EXAMPLES = [

@@ -36,6 +36,8 @@ from ceres_tpu.manifold import (
     SubsetManifold,
 )
 
+pytestmark = pytest.mark.slow  # 737 property cases; test_manifold.py covers the default run
+
 TOL = 1e-9
 SEEDS = [0, 1, 2, 7]
 

@@ -180,9 +180,26 @@ class TestSolveStatistics:
     (execution_summary.h:44-84, solver.cc:890-960)."""
 
     def test_counters_and_times_after_solve(self):
+        # Default config rides the traced fused path: the whole minimize
+        # is one device computation, accounted under "linear solver".
         prob = bal.synthesize_bal(2, 30, 90, seed=5)
         p, _, _ = bal.build_problem(prob)
         opts = ct.SolverOptions(max_num_iterations=8)
+        s = ct.solve(opts, p)
+        assert s.num_jacobian_evaluations > 0
+        assert s.num_residual_evaluations > 0
+        assert s.num_linear_solves > 0
+        assert s.num_linear_solver_iterations > 0
+        assert s.linear_solver_time_in_seconds > 0.0
+
+    def test_counters_and_times_host_loop(self):
+        # A per-iteration callback forces the host loop, which times
+        # each phase separately and attaches Evaluator::Statistics.
+        prob = bal.synthesize_bal(2, 30, 90, seed=5)
+        p, _, _ = bal.build_problem(prob)
+        opts = ct.SolverOptions(
+            max_num_iterations=8, callbacks=[lambda it: None]
+        )
         s = ct.solve(opts, p)
         assert s.num_jacobian_evaluations > 0
         assert s.num_residual_evaluations > 0

@@ -17,6 +17,7 @@ DATA_DIR = "/root/reference/data/nist"
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_full_nist_battery_parity():
     results = nist.run_suite(data_dir=DATA_DIR)
     assert len(results) == 54, f"expected 54 starts, got {len(results)}"

@@ -6,6 +6,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.models import bal
 
+pytestmark = pytest.mark.slow  # clustered/SPSE/subset sweeps: ~2 min tier
+
 
 @pytest.fixture(scope="module")
 def instance():

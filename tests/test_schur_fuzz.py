@@ -20,6 +20,8 @@ import ceres_tpu as ct
 from ceres_tpu.evaluator import _full_impl
 from ceres_tpu.linear.schur import SchurOperator, build_schur_structure
 
+pytestmark = pytest.mark.slow  # randomized fuzzing tier
+
 
 def make_fake_ba_problem(seed, ncam, npt, cam_size, pt_size, r_size,
                          visibility):
