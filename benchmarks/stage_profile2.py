@@ -40,7 +40,8 @@ t0 = time.time()
 prob = bal.synthesize_bal(num_cameras=C, num_points=P, num_observations=O,
                           noise=2.0, perturb=0.7, seed=7)
 problem, _, _ = bal.build_problem(prob)
-opts = bal.default_options(iterative=True)
+_dense = __import__("os").environ.get("CERES_PROFILE_DENSE", "0") == "1"
+opts = bal.default_options(iterative=not _dense)
 opts.evaluation_dtype = "float32"
 program = problem.program()
 cast_program(program, opts.evaluation_dtype)
@@ -126,6 +127,24 @@ if ss is not None:
                lambda D: SchurOperator(ctx_s, D, ss).schur_jacobi_blocks(), D0)
     timed_loop("back_substitute",
                lambda v: SchurOperator(ctx_s, D0, ss).back_substitute(v), rhs)
+
+if _dense and ss is not None:
+    from ceres_tpu.linear.schur import SchurOperator as _SO
+
+    @jax.jit
+    def dense_S(D):
+        return _SO(ctx_s, D, ss).dense_reduced_system()[0]
+
+    S0 = dense_S(D0)
+    jax.block_until_ready(S0)
+    timed_loop("explicit S assembly", dense_S, D0)
+
+    @jax.jit
+    def chol(S):
+        c, low = jax.scipy.linalg.cho_factor(S, lower=True)
+        return jax.scipy.linalg.cho_solve((c, low), S[0])
+
+    timed_loop("cho_factor+solve (nf^2)", chol, S0)
 
 timed_loop("plus_apply",
            lambda x: plus_apply(program.plus_struct, x, jnp.zeros_like(

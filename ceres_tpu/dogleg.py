@@ -118,7 +118,13 @@ class DoglegStrategy:
             Js = ctx.matvec(step)
             mcc = jnp.asarray(0.0, jnp.float64)
             for fi in range(len(ctx.families)):
-                mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+                mcc = mcc - jnp.sum(
+                    Js[fi].astype(jnp.float64)
+                    * (
+                        ctx.residuals[fi].astype(jnp.float64)
+                        + Js[fi].astype(jnp.float64) / 2.0
+                    )
+                )
             return mcc
 
         self._precompute = precompute

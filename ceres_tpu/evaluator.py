@@ -262,10 +262,11 @@ def _apply_loss(family: Family, r: jax.Array, jacs):
     """
     sq_norm = jnp.sum(r * r, axis=-1)
     if family.loss is None:
-        cost = 0.5 * jnp.sum(sq_norm)
+        # f64 accumulation: see _cost_impl.
+        cost = 0.5 * jnp.sum(sq_norm.astype(jnp.float64))
         return cost, r, jacs
     rho0, rho1, rho2 = family.loss.evaluate(sq_norm)
-    cost = 0.5 * jnp.sum(rho0)
+    cost = 0.5 * jnp.sum(rho0.astype(jnp.float64))
     scale, alpha_sq_norm = corrector_coefficients(sq_norm, rho1, rho2)
     sqrt_rho1 = jnp.sqrt(rho1)
     if jacs is not None:
@@ -705,14 +706,22 @@ class Evaluator:
 
 @functools.partial(jax.jit, static_argnames=("apply_loss",))
 def _cost_impl(x, families, apply_loss):
+    # Accumulate in f64 even for f32 evaluation: the LM accept/reject
+    # and function-tolerance tests compare COST DIFFERENCES, and an f32
+    # sum over 10^5+ residuals has ~1e-7-relative noise that swamps
+    # those differences near the optimum (observed as spurious invalid
+    # steps on the TPU device suite). One emulated-f64 reduction per
+    # evaluation is noise in the iteration budget.
     total = jnp.asarray(0.0, dtype=jnp.float64)
     for fam in families:
         r = family_residuals(fam, x)
         if apply_loss and fam.loss is not None:
             rho0, _, _ = fam.loss.evaluate(jnp.sum(r * r, axis=-1))
-            total = total + 0.5 * jnp.sum(rho0)
+            total = total + 0.5 * jnp.sum(rho0.astype(jnp.float64))
         else:
-            total = total + 0.5 * jnp.sum(r * r)
+            total = total + 0.5 * jnp.sum(
+                (r * r).astype(jnp.float64)
+            )
     return total
 
 

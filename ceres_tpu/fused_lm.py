@@ -9,10 +9,16 @@ convergence tests — as one ``lax.while_loop`` that runs start-to-finish
 on device with a single host transfer at the end. The full-scale analog
 of TinySolver (tiny_solver.h:30-398) built on the real solver stack.
 
-Trade-offs vs the host loop: no per-iteration callbacks/summaries, no
+Trade-offs vs the host loop: no per-iteration callbacks, no
 non-monotonic steps, no bounds, no inner iterations. Semantics otherwise
 match LevenbergMarquardtStrategy + TrustRegionMinimizer's convergence
 tests (function/gradient/parameter tolerance, min radius).
+
+Since r4 the loop can also carry a device-side per-iteration TRACE
+(:class:`_FusedTrace`), from which :func:`minimize_fused_traced`
+reconstructs the host loop's exact IterationSummary records — ct.solve
+rides this path by default (see fused_traced_eligible), so the
+API-faithful entry point pays ONE host round-trip per solve.
 """
 
 from __future__ import annotations
@@ -144,13 +150,23 @@ def _fused_minimize(
         diag = jnp.clip(
             ctx.squared_column_norms(), sc.min_lm_diagonal, sc.max_lm_diagonal
         )
-        D = jnp.sqrt(diag / s.radius.astype(diag.dtype))
+        from ceres_tpu.trust_region import _lm_damping
+
+        D = _lm_damping(diag, s.radius)
         y, lin_iters, lin_term = _linear_solve(ctx, D, solve_aux, sc)
         step_scaled = -y.astype(diag.dtype)
         Js = ctx.matvec(step_scaled)
         mcc = jnp.asarray(0.0, jnp.float64)
         for fi in range(len(ctx.families)):
-            mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+            # f64 accumulation: f32 cancellation here makes tiny steps
+            # near the optimum look invalid (mcc <= 0 noise).
+            mcc = mcc - jnp.sum(
+                Js[fi].astype(jnp.float64)
+                * (
+                    ctx.residuals[fi].astype(jnp.float64)
+                    + Js[fi].astype(jnp.float64) / 2.0
+                )
+            )
 
         step = (
             step_scaled * scaling if config.jacobi_scaling else step_scaled

@@ -219,7 +219,9 @@ def _sparse_schur_prep_impl(ctx, radius, ss, config):
         config.min_lm_diagonal,
         config.max_lm_diagonal,
     )
-    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    from ceres_tpu.trust_region import _lm_damping
+
+    D = _lm_damping(diag, radius)
     op = SchurOperator(ctx, D, ss)
     _, blocks = compute_cell_blocks(op, ss.explicit)
     rhs_red = op.rhs()[ss.f_idx]
@@ -243,7 +245,13 @@ def _sparse_schur_finish_impl(ctx, D, ss, xf_red):
     Js = ctx.matvec(step)
     mcc = jnp.asarray(0.0, jnp.float64)
     for fi in range(len(ctx.families)):
-        mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+        mcc = mcc - jnp.sum(
+            Js[fi].astype(jnp.float64)
+            * (
+                ctx.residuals[fi].astype(jnp.float64)
+                + Js[fi].astype(jnp.float64) / 2.0
+            )
+        )
     return step, mcc
 
 

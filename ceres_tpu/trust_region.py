@@ -317,6 +317,23 @@ def _build_solve_aux(options, program: Program):
 from ceres_tpu.linear.cg import direct_termination as _direct_termination
 
 
+def _lm_damping(diag, radius):
+    """LM damping D = sqrt(diag / radius)
+    (levenberg_marquardt_strategy.cc:78-95), floored at the evaluation
+    precision's resolution: in f32, D^2 < eps_f32 * diag adds NOTHING
+    representable to the J'J diagonal, leaving gauge-singular systems
+    (BA without gauge fixing) entirely undamped — observed on the TPU
+    as CG returning garbage steps at radius > ~1e7 no matter how far
+    the invalid-step ladder shrinks it. The floor is equivalent to an
+    effective trust-region cap of ~1/eps, far beyond where LM steps
+    are distinguishable from Gauss-Newton. No-op in f64."""
+    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    if D.dtype == jnp.float32:
+        # sqrt(f32 machine epsilon 1.19e-7)
+        D = jnp.maximum(D, jnp.sqrt(diag) * jnp.asarray(3.5e-4, D.dtype))
+    return D
+
+
 def _base_linear_solve(ctx, D, solve_aux, config: _SolveConfig, rhs=None):
     """LinearSolver::Solve dispatch (linear_solver.cc:75), pure.
 
@@ -516,14 +533,18 @@ def _tr_iteration_impl(
         config.min_lm_diagonal,
         config.max_lm_diagonal,
     )
-    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    D = _lm_damping(diag, radius)
     y, lin_iters, lin_term = _linear_solve(ctx_used, D, solve_aux, config)
     step_scaled = -y.astype(diag.dtype)
     Js = ctx_used.matvec(step_scaled)
     mcc = jnp.asarray(0.0, jnp.float64)
     for fi in range(len(ctx_used.families)):
         mcc = mcc - jnp.sum(
-            Js[fi] * (ctx_used.residuals[fi] + Js[fi] / 2.0)
+            Js[fi].astype(jnp.float64)
+            * (
+                ctx_used.residuals[fi].astype(jnp.float64)
+                + Js[fi].astype(jnp.float64) / 2.0
+            )
         )
 
     delta = step_scaled * scaling if use_scaling else step_scaled
@@ -565,7 +586,7 @@ def _lm_step_impl(ctx, radius, solve_aux, config: _SolveConfig):
         ctx.squared_column_norms(), config.min_lm_diagonal,
         config.max_lm_diagonal,
     )
-    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    D = _lm_damping(diag, radius)
     y, lin_iters, term = _linear_solve(ctx, D, solve_aux, config)
     # mixed-precision solves return an f64-refined y; the step is
     # applied to the evaluation-dtype state, so cast back.
@@ -573,7 +594,13 @@ def _lm_step_impl(ctx, radius, solve_aux, config: _SolveConfig):
     Js = ctx.matvec(step)
     mcc = jnp.asarray(0.0, jnp.float64)
     for fi in range(len(ctx.families)):
-        mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+        mcc = mcc - jnp.sum(
+            Js[fi].astype(jnp.float64)
+            * (
+                ctx.residuals[fi].astype(jnp.float64)
+                + Js[fi].astype(jnp.float64) / 2.0
+            )
+        )
     return step, mcc, lin_iters, term
 
 
@@ -597,7 +624,7 @@ def _sparse_prep_impl(ctx, radius, config: _SolveConfig):
         ctx.squared_column_norms(), config.min_lm_diagonal,
         config.max_lm_diagonal,
     )
-    D = jnp.sqrt(diag / radius.astype(diag.dtype))
+    D = _lm_damping(diag, radius)
     return D, ctx.gradient()
 
 
@@ -609,7 +636,13 @@ def _sparse_finish_impl(ctx, y):
     Js = ctx.matvec(step)
     mcc = jnp.asarray(0.0, jnp.float64)
     for fi in range(len(ctx.families)):
-        mcc = mcc - jnp.sum(Js[fi] * (ctx.residuals[fi] + Js[fi] / 2.0))
+        mcc = mcc - jnp.sum(
+            Js[fi].astype(jnp.float64)
+            * (
+                ctx.residuals[fi].astype(jnp.float64)
+                + Js[fi].astype(jnp.float64) / 2.0
+            )
+        )
     return step, mcc
 
 

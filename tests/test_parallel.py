@@ -60,7 +60,15 @@ class TestPadding:
 
 class TestShardedSolve:
     @pytest.mark.parametrize(
-        "solver", ["ITERATIVE_SCHUR", "DENSE_SCHUR", "CGNR", "DENSE_QR"]
+        "solver",
+        [
+            "ITERATIVE_SCHUR",
+            "DENSE_SCHUR",
+            "CGNR",
+            # DENSE_QR shards a dense (M, nt) factorization: ~2 min of
+            # XLA:CPU partitioned-QR compile alone -> slow tier.
+            pytest.param("DENSE_QR", marks=pytest.mark.slow),
+        ],
     )
     def test_sharded_matches_single_device(self, bal_instance, solver):
         finals = []
@@ -106,6 +114,7 @@ class TestGraftEntry:
         out = fn(*args)
         assert float(out[2]) < float(out[1])  # candidate cost decreased
 
+    @pytest.mark.slow  # the driver executes dryrun_multichip directly
     def test_dryrun_multichip(self):
         import sys
 
