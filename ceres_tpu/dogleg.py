@@ -229,9 +229,11 @@ class DoglegStrategy:
         )
         if not np.all(np.isfinite(poly)):
             return None
-        roots = np.roots(poly)
+        from ceres_tpu.ops.polynomial import polynomial_roots
+
+        roots = polynomial_roots(poly, real_parts=True)
         best, best_val = None, np.inf
-        for y in np.real(roots):
+        for y in roots:
             M = B + y * np.eye(2)
             try:
                 x = -np.linalg.solve(M, g)

@@ -73,25 +73,13 @@ class _PhiEval:
 
 def _interpolate_cubic(lo: _PhiEval, hi: _PhiEval) -> float:
     """Cubic minimizer of phi on [lo.a, hi.a] using values+derivatives
-    (polynomial.cc MinimizeInterpolatingPolynomial specialization)."""
-    a0, f0, g0 = lo.a, lo.value, lo.gradient
-    a1, f1, g1 = hi.a, hi.value, hi.gradient
-    h = a1 - a0
-    if h == 0.0:
-        return a0
-    d1 = g0 + g1 - 3.0 * (f0 - f1) / (a0 - a1)
-    disc = d1 * d1 - g0 * g1
-    if disc < 0.0:
-        return 0.5 * (a0 + a1)
-    d2 = np.sign(h) * np.sqrt(disc)
-    denom = g1 - g0 + 2.0 * d2
-    if denom == 0.0:
-        return 0.5 * (a0 + a1)
-    a = a1 - h * (g1 + d2 - d1) / denom
-    lo_b, hi_b = min(a0, a1), max(a0, a1)
-    if not (lo_b < a < hi_b) or not np.isfinite(a):
-        return 0.5 * (a0 + a1)
-    return float(a)
+    (polynomial.cc MinimizeInterpolatingPolynomial specialization;
+    shared implementation in ops/polynomial.py)."""
+    from ceres_tpu.ops.polynomial import cubic_minimizer_two_points
+
+    return cubic_minimizer_two_points(
+        lo.a, lo.value, lo.gradient, hi.a, hi.value, hi.gradient
+    )
 
 
 class _LineSearchFunction:

@@ -1299,34 +1299,22 @@ class TrustRegionMinimizer:
             phi = float(self.evaluator.cost(cand))
             if np.isfinite(phi) and phi <= phi0 + c1 * alpha * dphi0:
                 return alpha * delta
+            from ceres_tpu.ops.polynomial import (
+                cubic_minimizer_from_samples,
+                quadratic_minimizer,
+            )
+
             if prev is None or not np.isfinite(phi):
                 # Quadratic through phi(0), phi'(0), (alpha, phi).
-                denom = 2.0 * (phi - phi0 - dphi0 * alpha)
-                a_next = (
-                    -dphi0 * alpha * alpha / denom
-                    if np.isfinite(denom) and denom > 0.0
-                    else 0.5 * alpha
-                )
+                a_next = quadratic_minimizer(phi0, dphi0, alpha, phi)
             else:
                 # Cubic through phi(0), phi'(0) and the last two samples
-                # (Nocedal & Wright eq. 3.43; polynomial.cc analog).
+                # (Nocedal & Wright eq. 3.43; polynomial.cc analog;
+                # shared implementation in ops/polynomial.py).
                 a0, f0 = prev
-                a1, f1 = alpha, phi
-                d = a0 * a0 * a1 * a1 * (a1 - a0)
-                if d != 0.0 and np.isfinite(f0):
-                    r0 = f0 - phi0 - dphi0 * a0
-                    r1 = f1 - phi0 - dphi0 * a1
-                    ca = (a0 * a0 * r1 - a1 * a1 * r0) / d
-                    cb = (-(a0**3) * r1 + (a1**3) * r0) / d
-                    disc = cb * cb - 3.0 * ca * dphi0
-                    if ca != 0.0 and disc >= 0.0:
-                        a_next = (-cb + np.sqrt(disc)) / (3.0 * ca)
-                    elif cb != 0.0:
-                        a_next = -dphi0 / (2.0 * cb)
-                    else:
-                        a_next = 0.5 * alpha
-                else:
-                    a_next = 0.5 * alpha
+                a_next = cubic_minimizer_from_samples(
+                    phi0, dphi0, a0, f0, alpha, phi
+                )
             if not np.isfinite(a_next):
                 a_next = 0.5 * alpha
             a_next = min(max(a_next, 0.1 * alpha), 0.5 * alpha)
