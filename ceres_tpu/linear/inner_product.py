@@ -222,11 +222,15 @@ def host_normal_factor_solve(
     rhs: np.ndarray,
     ordering: str = "AMD",
     use_postordering: bool = False,
+    mixed_precision: bool = False,
+    num_refinement_iterations: int = 3,
 ):
     """Host: bincount-scatter cell values into CSC data, add D^2,
-    refactorize on the cached symbolic handle, solve. Returns
+    refactorize on the cached symbolic handle, solve
+    (``mixed_precision``: f32 factor + f64 refinement — the
+    RefinedSparseCholesky analog, sparse_cholesky.h:118). Returns
     (y, termination) with sparse_cholesky's termination codes."""
-    from ceres_tpu.linear.cg import CG_FAILURE, CG_FATAL_ERROR, CG_SUCCESS
+    from ceres_tpu.linear.sparse_cholesky import factor_solve_csc
 
     vals = np.concatenate(
         [np.asarray(b, dtype=np.float64).ravel() for b in cell_values]
@@ -239,36 +243,18 @@ def host_normal_factor_solve(
 
     if assembly.cholesky is None:
         assembly.cholesky = {}
-    chol = assembly.cholesky.get((ordering, use_postordering))
-    if chol is None:
-        try:
-            from ceres_tpu.linear.sparse_cholesky import SparseCholesky
-
-            chol = SparseCholesky(
-                assembly.n, assembly.indptr, assembly.indices,
-                ordering=ordering, use_postordering=use_postordering,
-            )
-        except RuntimeError:
-            chol = "scipy"
-        assembly.cholesky[(ordering, use_postordering)] = chol
-    if chol == "scipy":
-        import scipy.sparse as sp
-        import scipy.sparse.linalg as spla
-
-        H = sp.csc_matrix(
-            (data, assembly.indices, assembly.indptr),
-            shape=(assembly.n, assembly.n),
-        )
-        Hfull = H + sp.triu(H, k=1, format="csc").T
-        y = spla.spsolve(Hfull, np.asarray(rhs, dtype=np.float64))
-    else:
-        rc = chol.factorize(data)
-        if rc != 0:
-            return np.zeros(assembly.n), int(CG_FAILURE)
-        y = chol.solve(np.asarray(rhs, dtype=np.float64))
-    if not np.all(np.isfinite(y)):
-        return np.zeros(assembly.n), int(CG_FATAL_ERROR)
-    return y, int(CG_SUCCESS)
+    return factor_solve_csc(
+        assembly.cholesky,
+        assembly.n,
+        assembly.indptr,
+        assembly.indices,
+        data,
+        rhs,
+        ordering=ordering,
+        use_postordering=use_postordering,
+        mixed_precision=mixed_precision,
+        num_refinement_iterations=num_refinement_iterations,
+    )
 
 
 @jax.jit

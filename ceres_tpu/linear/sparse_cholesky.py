@@ -49,6 +49,10 @@ def _f64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
 def nested_dissection_order(
     n: int, Ap: np.ndarray, Ai: np.ndarray, leaf: int = 128
 ) -> np.ndarray:
@@ -169,12 +173,16 @@ class SparseCholesky:
     (suitesparse.h use_postordering semantics)."""
 
     def __init__(self, n: int, Ap: np.ndarray, Ai: np.ndarray,
-                 ordering: str = "AMD", use_postordering: bool = False):
+                 ordering: str = "AMD", use_postordering: bool = False,
+                 precision: str = "double"):
         lib = native.get_lib()
         if lib is None:
             raise RuntimeError("native core unavailable")
+        if precision not in ("double", "single"):
+            raise ValueError(f"unknown precision {precision!r}")
         self._lib = lib
         self._handle = None
+        self.precision = precision
         self.n = int(n)
         self.Ap = np.ascontiguousarray(Ap, dtype=np.int64)
         self.Ai = np.ascontiguousarray(Ai, dtype=np.int32)
@@ -215,7 +223,10 @@ class SparseCholesky:
             raise RuntimeError("sparse_chol_symbolic_new failed")
         self.nnz_L = int(self._lib.sparse_chol_symbolic_nnz(self._handle))
         self.Li = np.empty(self.nnz_L, dtype=np.int32)
-        self.Lx = np.empty(self.nnz_L, dtype=np.float64)
+        self.Lx = np.empty(
+            self.nnz_L,
+            dtype=np.float64 if self.precision == "double" else np.float32,
+        )
         self._factorized = False
 
     def __del__(self):
@@ -227,27 +238,132 @@ class SparseCholesky:
     def factorize(self, Ax: np.ndarray) -> int:
         """Numeric refactorization (no symbolic work). Returns 0 on
         success, k>0 when the pivot at (permuted) column k-1 is
-        non-positive."""
-        Ax = np.ascontiguousarray(Ax, dtype=np.float64)
-        rc = self._lib.sparse_chol_refactorize(
-            self._handle, _f64p(Ax), _i32p(self.Li), _f64p(self.Lx)
-        )
+        non-positive. Single precision factors through the f32 numeric
+        core (RefinedSparseCholesky analog, sparse_cholesky.h:118)."""
+        if self.precision == "single":
+            Ax = np.ascontiguousarray(Ax, dtype=np.float32)
+            rc = self._lib.sparse_chol_refactorize_f32(
+                self._handle, _f32p(Ax), _i32p(self.Li), _f32p(self.Lx)
+            )
+        else:
+            Ax = np.ascontiguousarray(Ax, dtype=np.float64)
+            rc = self._lib.sparse_chol_refactorize(
+                self._handle, _f64p(Ax), _i32p(self.Li), _f64p(self.Lx)
+            )
         self._factorized = rc == 0
         return int(rc)
 
     def solve(self, b: np.ndarray) -> np.ndarray:
-        """Solve A x = b (b: (n,) or (k, n))."""
+        """Solve A x = b (b: (n,) or (k, n)); always returns float64
+        (a single-precision factor backsolves in f32 — its result is
+        the refinement-loop correction, iterative_refiner.h)."""
         if not self._factorized:
             raise RuntimeError("factorize() has not succeeded")
-        b2 = np.ascontiguousarray(
-            np.atleast_2d(np.asarray(b, dtype=np.float64))
-        )
-        x = np.empty_like(b2)
-        self._lib.sparse_chol_solve(
-            self.n, _i64p(self.Lp), _i32p(self.Li), _f64p(self.Lx),
-            _i32p(self.perm), b2.shape[0], _f64p(b2), _f64p(x),
-        )
+        if self.precision == "single":
+            b2 = np.ascontiguousarray(
+                np.atleast_2d(np.asarray(b, dtype=np.float32))
+            )
+            x = np.empty_like(b2)
+            self._lib.sparse_chol_solve_f32(
+                self.n, _i64p(self.Lp), _i32p(self.Li), _f32p(self.Lx),
+                _i32p(self.perm), b2.shape[0], _f32p(b2), _f32p(x),
+            )
+            x = x.astype(np.float64)
+        else:
+            b2 = np.ascontiguousarray(
+                np.atleast_2d(np.asarray(b, dtype=np.float64))
+            )
+            x = np.empty_like(b2)
+            self._lib.sparse_chol_solve(
+                self.n, _i64p(self.Lp), _i32p(self.Li), _f64p(self.Lx),
+                _i32p(self.perm), b2.shape[0], _f64p(b2), _f64p(x),
+            )
         return x[0] if np.ndim(b) == 1 else x
+
+    def refined_solve(
+        self,
+        H_upper,
+        b: np.ndarray,
+        num_refinement_iterations: int = 3,
+    ) -> np.ndarray:
+        """Factor-precision solve + double-precision iterative refinement
+        (the RefinedSparseCholesky composition, sparse_cholesky.h:118 +
+        iterative_refiner.{h,cc}): x_{k+1} = x_k + A^{-~1}(b - A x_k)
+        with the residual computed from the double-precision ``H_upper``
+        (scipy upper-CSC) and the correction from this factor. A fixed
+        iteration count, like the reference's IterativeRefiner."""
+        import scipy.sparse as sp
+
+        b64 = np.asarray(b, dtype=np.float64)
+        x = self.solve(b64)
+        if num_refinement_iterations <= 0:
+            return x
+        Hfull = H_upper + sp.triu(H_upper, k=1, format="csc").T
+        for _ in range(num_refinement_iterations):
+            r = b64 - Hfull @ x
+            x = x + self.solve(r)
+        return x
+
+
+def factor_solve_csc(
+    chol_cache: dict,
+    n: int,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    rhs: np.ndarray,
+    ordering: str = "AMD",
+    use_postordering: bool = False,
+    mixed_precision: bool = False,
+    num_refinement_iterations: int = 3,
+) -> Tuple[np.ndarray, int]:
+    """Shared host factor+solve over an assembled upper-CSC SPD system.
+
+    Caches the :class:`SparseCholesky` per (ordering, postordering,
+    precision) in ``chol_cache`` (factor-once/refactor-many,
+    sparse_cholesky.h:71-112). ``mixed_precision`` factors in f32 and
+    wraps the backsolve in double-precision iterative refinement — the
+    RefinedSparseCholesky composition (sparse_cholesky.h:118,
+    iterative_refiner.{h,cc}). Falls back to SuperLU when the native
+    core is unavailable. Returns (x, termination-code)."""
+    key = (ordering, use_postordering, mixed_precision)
+    chol = chol_cache.get(key)
+    if chol is None:
+        try:
+            chol = SparseCholesky(
+                n, indptr, indices,
+                ordering=ordering, use_postordering=use_postordering,
+                precision="single" if mixed_precision else "double",
+            )
+        except RuntimeError:
+            chol = "scipy"
+        chol_cache[key] = chol
+    import scipy.sparse as sp
+
+    if chol == "scipy":
+        # Native core unavailable: SuperLU fallback (the reference's
+        # Eigen fallback when CHOLMOD is absent).
+        import scipy.sparse.linalg as spla
+
+        H = sp.csc_matrix((data, indices, indptr), shape=(n, n))
+        Hfull = H + sp.triu(H, k=1, format="csc").T
+        x = spla.spsolve(Hfull, np.asarray(rhs, dtype=np.float64))
+    else:
+        rc = chol.factorize(data)
+        if rc != 0:
+            return np.zeros(n), int(CG_FAILURE)
+        if mixed_precision:
+            H = sp.csc_matrix((data, indices, indptr), shape=(n, n))
+            x = chol.refined_solve(
+                H,
+                np.asarray(rhs, dtype=np.float64),
+                num_refinement_iterations=num_refinement_iterations,
+            )
+        else:
+            x = chol.solve(np.asarray(rhs, dtype=np.float64))
+    if not np.all(np.isfinite(x)):
+        return np.zeros(n), int(CG_FATAL_ERROR)
+    return x, int(CG_SUCCESS)
 
 
 # ---------------------------------------------------------------------------
@@ -320,48 +436,39 @@ def host_sparse_normal_solve(
     args,
     ordering: str = "AMD",
     use_postordering: bool = False,
+    mixed_precision: bool = False,
+    num_refinement_iterations: int = 3,
 ) -> Tuple[np.ndarray, np.int32, np.int32]:
     """Assemble + factorize + solve on the host. ``args`` is one list
     per residual family, each holding that family's per-argument
-    (tangent_idx, jacobian) pairs. Returns (y, iterations,
-    termination-code)."""
+    (tangent_idx, jacobian) pairs. ``mixed_precision`` takes the
+    RefinedSparseCholesky route (f32 factor + f64 refinement). Returns
+    (y, iterations, termination-code)."""
     H = _assemble_normal_eqs(nt, dynamic, D, args)
-    y = np.zeros(nt, dtype=np.float64)
-    try:
-        # Key on the raw pattern bytes (not their hash): a hash collision
-        # between two patterns would silently reuse the wrong symbolic
-        # factorization (matters for dynamic_sparsity, where the pattern
-        # changes every iteration).
-        key = (
-            H.shape[0], H.indptr.tobytes(), H.indices.tobytes(),
-            ordering, use_postordering,
-        )
-        chol = _SYMBOLIC_CACHE.get(key)
-        if chol is None:
-            chol = SparseCholesky(
-                H.shape[0], H.indptr, H.indices,
-                ordering=ordering, use_postordering=use_postordering,
-            )
-            if len(_SYMBOLIC_CACHE) >= _CACHE_CAP:
-                _SYMBOLIC_CACHE.clear()
-            _SYMBOLIC_CACHE[key] = chol
-        rc = chol.factorize(H.data)
-        if rc != 0:
-            return y, np.int32(1), np.int32(CG_FAILURE)
-        y = chol.solve(np.asarray(rhs, dtype=np.float64))
-    except RuntimeError:
-        # Native core unavailable: SuperLU fallback keeps the option
-        # usable (reference's Eigen fallback when CHOLMOD is absent).
-        import scipy.sparse.linalg as spla
-        import scipy.sparse as sp
-
-        Hfull = H + sp.triu(H, k=1, format="csc").T
-        y = spla.spsolve(Hfull.tocsc(), np.asarray(rhs, dtype=np.float64))
-    if not np.all(np.isfinite(y)):
-        return np.zeros(nt, dtype=np.float64), np.int32(1), np.int32(
-            CG_FATAL_ERROR
-        )
-    return y, np.int32(1), np.int32(CG_SUCCESS)
+    # Key on the raw pattern bytes (not their hash): a hash collision
+    # between two patterns would silently reuse the wrong symbolic
+    # factorization (matters for dynamic_sparsity, where the pattern
+    # changes every iteration).
+    key = (H.shape[0], H.indptr.tobytes(), H.indices.tobytes())
+    chol_cache = _SYMBOLIC_CACHE.get(key)
+    if chol_cache is None:
+        if len(_SYMBOLIC_CACHE) >= _CACHE_CAP:
+            _SYMBOLIC_CACHE.clear()
+        chol_cache = {}
+        _SYMBOLIC_CACHE[key] = chol_cache
+    y, term = factor_solve_csc(
+        chol_cache,
+        H.shape[0],
+        H.indptr,
+        H.indices,
+        H.data,
+        rhs,
+        ordering=ordering,
+        use_postordering=use_postordering,
+        mixed_precision=mixed_precision,
+        num_refinement_iterations=num_refinement_iterations,
+    )
+    return y, np.int32(1), np.int32(term)
 
 
 def solve_sparse_normal_cholesky(ctx, D, rhs=None, dynamic=False):

@@ -158,10 +158,17 @@ def host_sparse_schur_factor_solve(
     rhs_red: np.ndarray,
     ordering: str = "AMD",
     use_postordering: bool = False,
+    mixed_precision: bool = False,
+    num_refinement_iterations: int = 3,
 ) -> Tuple[np.ndarray, int]:
     """Host half of the SPARSE_SCHUR step: scatter cell values into the
     CSC data with one bincount, add damping, refactorize on the cached
-    symbolic handle, solve. Returns (xf, termination)."""
+    symbolic handle, solve. ``mixed_precision`` factors in f32 and wraps
+    the solve in f64 iterative refinement (the RefinedSparseCholesky
+    route of schur_complement_solver + sparse_cholesky.h:118). Returns
+    (xf, termination)."""
+    from ceres_tpu.linear.sparse_cholesky import factor_solve_csc
+
     vals = np.concatenate(
         [np.asarray(b, dtype=np.float64).ravel() for b in cell_values]
     )
@@ -173,38 +180,18 @@ def host_sparse_schur_factor_solve(
 
     if assembly.cholesky is None:
         assembly.cholesky = {}
-    chol = assembly.cholesky.get((ordering, use_postordering))
-    if chol is None:
-        try:
-            from ceres_tpu.linear.sparse_cholesky import SparseCholesky
-
-            chol = SparseCholesky(
-                assembly.nf, assembly.indptr, assembly.indices,
-                ordering=ordering, use_postordering=use_postordering,
-            )
-        except RuntimeError:
-            chol = "scipy"
-        assembly.cholesky[(ordering, use_postordering)] = chol
-    if chol == "scipy":
-        # Native core unavailable: SuperLU fallback (Eigen-fallback
-        # analog when CHOLMOD is absent).
-        import scipy.sparse as sp
-        import scipy.sparse.linalg as spla
-
-        H = sp.csc_matrix(
-            (data, assembly.indices, assembly.indptr),
-            shape=(assembly.nf, assembly.nf),
-        )
-        Hfull = H + sp.triu(H, k=1, format="csc").T
-        xf = spla.spsolve(Hfull, np.asarray(rhs_red, dtype=np.float64))
-    else:
-        rc = chol.factorize(data)
-        if rc != 0:
-            return np.zeros(assembly.nf), int(CG_FAILURE)
-        xf = chol.solve(np.asarray(rhs_red, dtype=np.float64))
-    if not np.all(np.isfinite(xf)):
-        return np.zeros(assembly.nf), int(CG_FATAL_ERROR)
-    return xf, int(CG_SUCCESS)
+    return factor_solve_csc(
+        assembly.cholesky,
+        assembly.nf,
+        assembly.indptr,
+        assembly.indices,
+        data,
+        rhs_red,
+        ordering=ordering,
+        use_postordering=use_postordering,
+        mixed_precision=mixed_precision,
+        num_refinement_iterations=num_refinement_iterations,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -279,6 +266,12 @@ def make_sparse_schur_step_fn(config, solve_aux):
             assembly, list(blocks_h), df_h, rhs_h,
             ordering=getattr(config, "ordering_type", "AMD"),
             use_postordering=getattr(config, "use_postordering", False),
+            mixed_precision=getattr(
+                config, "use_mixed_precision_solves", False
+            ),
+            num_refinement_iterations=getattr(
+                config, "num_refinement_iterations", 3
+            ),
         )
         if term != CG_SUCCESS:
             nt = ctx.num_tangent

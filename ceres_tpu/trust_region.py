@@ -687,6 +687,8 @@ def _make_sparse_lm_step_fn(config: _SolveConfig, program=None):
                 assembly, list(blocks_h), D_h, rhs_h,
                 ordering=config.ordering_type,
                 use_postordering=config.use_postordering,
+                mixed_precision=config.use_mixed_precision_solves,
+                num_refinement_iterations=config.num_refinement_iterations,
             )
             step, mcc = _sparse_finish_impl(
                 ctx, jnp.asarray(y).astype(D.dtype)
@@ -720,6 +722,8 @@ def _make_sparse_lm_step_fn(config: _SolveConfig, program=None):
             args,
             ordering=config.ordering_type,
             use_postordering=config.use_postordering,
+            mixed_precision=config.use_mixed_precision_solves,
+            num_refinement_iterations=config.num_refinement_iterations,
         )
         step, mcc = _sparse_finish_impl(ctx, jnp.asarray(y).astype(D.dtype))
         return step, mcc, jnp.asarray(lin_iters), jnp.asarray(term)
@@ -731,20 +735,18 @@ def _make_lm_step_fn(options, program: Program):
     """Returns f(ctx, radius) -> (step, model_cost_change, lin_iters,
     lin_termination) bound to the shared module-level jitted impl."""
     config = _config_from_options(options, program)
-    if (
-        config.linear_solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY
-        and not config.use_mixed_precision_solves
-    ):
+    if config.linear_solver_type == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
+        # Host-driven exact sparse step; with use_mixed_precision_solves
+        # the host factors in f32 and refines in f64 (the
+        # RefinedSparseCholesky route, sparse_cholesky.h:118).
         return _make_sparse_lm_step_fn(config, program)
     solve_aux = _build_solve_aux(options, program)
-    if (
-        config.linear_solver_type == LinearSolverType.SPARSE_SCHUR
-        and not config.use_mixed_precision_solves
-    ):
+    if config.linear_solver_type == LinearSolverType.SPARSE_SCHUR:
         # True sparse reduced camera system: device eliminator cells +
-        # host block-sparse Cholesky (schur_complement_solver.h:169-183).
-        # (Mixed-precision and fully-jitted callers use the in-graph
-        # dense-S route in linear/schur.py instead.)
+        # host block-sparse Cholesky (schur_complement_solver.h:169-183);
+        # mixed precision factors S in f32 + refines in f64. (Fully-
+        # jitted callers use the in-graph dense-S route in
+        # linear/schur.py instead.)
         from ceres_tpu.linear.sparse_schur import make_sparse_schur_step_fn
 
         return make_sparse_schur_step_fn(config, solve_aux)
@@ -796,13 +798,10 @@ class TrustRegionMinimizer:
                 options.trust_region_problem_dump_directory
                 and options.trust_region_minimizer_iterations_to_dump
             )
-            and not (
-                config.linear_solver_type
-                in (
-                    LinearSolverType.SPARSE_NORMAL_CHOLESKY,
-                    LinearSolverType.SPARSE_SCHUR,
-                )
-                and not config.use_mixed_precision_solves
+            and config.linear_solver_type
+            not in (
+                LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+                LinearSolverType.SPARSE_SCHUR,
             )
         )
         self._fused_aux = (

@@ -139,6 +139,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, p_f64, p_i32, p_f64,
     ]
     lib.sparse_chol_refactorize.restype = i64
+    p_f32 = ctypes.POINTER(ctypes.c_float)
+    lib.sparse_chol_refactorize_f32.argtypes = [
+        ctypes.c_void_p, p_f32, p_i32, p_f32,
+    ]
+    lib.sparse_chol_refactorize_f32.restype = i64
+    lib.sparse_chol_solve_f32.argtypes = [
+        i64, p_i64, p_i32, p_f32, p_i32, i64, p_f32, p_f32,
+    ]
+    lib.sparse_chol_solve_f32.restype = ctypes.c_int
     _lib = lib
     return _lib
 

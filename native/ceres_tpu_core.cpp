@@ -654,8 +654,13 @@ struct SparseCholSymbolic {
 };
 
 // Numeric core shared by the handle API and the legacy one-shot entry.
-static int64_t chol_numeric(const SparseCholSymbolic& S, const double* Ax,
-                            int32_t* Li, double* Lx) {
+// Templated over the factor scalar type: double is the exact path,
+// float backs the mixed-precision RefinedSparseCholesky analog
+// (internal/ceres/sparse_cholesky.h:118, dense_cholesky.h:104-246 —
+// factor in single precision, wrap with double-precision refinement).
+template <typename T>
+static int64_t chol_numeric_t(const SparseCholSymbolic& S, const T* Ax,
+                              int32_t* Li, T* Lx) {
   const int64_t n = S.n;
   const std::vector<int64_t>& Bp = S.Bp;
   const std::vector<int32_t>& Bi = S.Bi;
@@ -663,16 +668,16 @@ static int64_t chol_numeric(const SparseCholSymbolic& S, const double* Ax,
   const std::vector<int32_t>& parent = S.parent;
   const int64_t* Lp = S.Lp.data();
   std::vector<int32_t> mark(n, -1), stack(n), reach(n);
-  std::vector<double> x(n, 0.0);
+  std::vector<T> x(n, T(0));
   std::vector<int64_t> lnext(n);  // next free slot per column of L
   for (int64_t j = 0; j < n; ++j) lnext[j] = Lp[j] + 1;  // slot 0 = diag
   for (int64_t k = 0; k < n; ++k) {
     // Scatter row k of B (upper column k) into x; diagonal into d.
-    double d = 0.0;
+    T d = T(0);
     int64_t nr = row_reach(k, Bp, Bi, parent, mark, stack, reach);
     for (int64_t p = Bp[k]; p < Bp[k + 1]; ++p) {
       int32_t i = Bi[p];
-      double v = Ax[Bsrc[p]];
+      T v = Ax[Bsrc[p]];
       if (i == k)
         d = v;
       else
@@ -681,19 +686,48 @@ static int64_t chol_numeric(const SparseCholSymbolic& S, const double* Ax,
     // Up-looking triangular solve along the reach.
     for (int64_t t = 0; t < nr; ++t) {
       int32_t j = reach[t];
-      double lkj = x[j] / Lx[Lp[j]];  // divide by L(j,j)
-      x[j] = 0.0;
+      T lkj = x[j] / Lx[Lp[j]];  // divide by L(j,j)
+      x[j] = T(0);
       for (int64_t p = Lp[j] + 1; p < lnext[j]; ++p) x[Li[p]] -= Lx[p] * lkj;
       d -= lkj * lkj;
       int64_t q = lnext[j]++;
       Li[q] = (int32_t)k;
       Lx[q] = lkj;
     }
-    if (!(d > 0.0)) return k + 1;
+    if (!(d > T(0))) return k + 1;
     Li[Lp[k]] = (int32_t)k;
     Lx[Lp[k]] = std::sqrt(d);
   }
   return 0;
+}
+
+static int64_t chol_numeric(const SparseCholSymbolic& S, const double* Ax,
+                            int32_t* Li, double* Lx) {
+  return chol_numeric_t<double>(S, Ax, Li, Lx);
+}
+
+// Shared triangular-solve core: x = P' (L^-T (L^-1 (P b))).
+template <typename T>
+static void chol_solve_t(int64_t n, const int64_t* Lp, const int32_t* Li,
+                         const T* Lx, const int32_t* perm, int64_t nrhs,
+                         const T* B, T* X) {
+  std::vector<T> z(n);
+  for (int64_t r = 0; r < nrhs; ++r) {
+    const T* b = B + r * n;
+    T* xo = X + r * n;
+    for (int64_t k = 0; k < n; ++k) z[k] = b[perm[k]];
+    for (int64_t j = 0; j < n; ++j) {  // L z' = z
+      T zj = z[j] / Lx[Lp[j]];
+      z[j] = zj;
+      for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) z[Li[p]] -= Lx[p] * zj;
+    }
+    for (int64_t j = n - 1; j >= 0; --j) {  // L^T y = z'
+      T zj = z[j];
+      for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) zj -= Lx[p] * z[Li[p]];
+      z[j] = zj / Lx[Lp[j]];
+    }
+    for (int64_t k = 0; k < n; ++k) xo[perm[k]] = z[k];
+  }
 }
 
 extern "C" {
@@ -779,23 +813,23 @@ int64_t sparse_chol_factorize(int64_t n, const int64_t* Ap, const int32_t* Ai,
 int sparse_chol_solve(int64_t n, const int64_t* Lp, const int32_t* Li,
                       const double* Lx, const int32_t* perm, int64_t nrhs,
                       const double* B, double* X) {
-  std::vector<double> z(n);
-  for (int64_t r = 0; r < nrhs; ++r) {
-    const double* b = B + r * n;
-    double* xo = X + r * n;
-    for (int64_t k = 0; k < n; ++k) z[k] = b[perm[k]];
-    for (int64_t j = 0; j < n; ++j) {  // L z' = z
-      double zj = z[j] / Lx[Lp[j]];
-      z[j] = zj;
-      for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) z[Li[p]] -= Lx[p] * zj;
-    }
-    for (int64_t j = n - 1; j >= 0; --j) {  // L^T y = z'
-      double zj = z[j];
-      for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) zj -= Lx[p] * z[Li[p]];
-      z[j] = zj / Lx[Lp[j]];
-    }
-    for (int64_t k = 0; k < n; ++k) xo[perm[k]] = z[k];
-  }
+  chol_solve_t<double>(n, Lp, Li, Lx, perm, nrhs, B, X);
+  return 0;
+}
+
+// Single-precision numeric refactorization on a double-analyzed pattern
+// (RefinedSparseCholesky analog, sparse_cholesky.h:118): same symbolic
+// handle, float values/factor. The caller wraps this with
+// double-precision iterative refinement (iterative_refiner.h).
+int64_t sparse_chol_refactorize_f32(void* handle, const float* Ax,
+                                    int32_t* Li, float* Lx) {
+  return chol_numeric_t<float>(*(SparseCholSymbolic*)handle, Ax, Li, Lx);
+}
+
+int sparse_chol_solve_f32(int64_t n, const int64_t* Lp, const int32_t* Li,
+                          const float* Lx, const int32_t* perm, int64_t nrhs,
+                          const float* B, float* X) {
+  chol_solve_t<float>(n, Lp, Li, Lx, perm, nrhs, B, X);
   return 0;
 }
 
