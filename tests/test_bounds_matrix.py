@@ -16,6 +16,8 @@ import pytest
 
 import ceres_tpu as ct
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _solve(p, max_num_iterations=100, **kw):
     opts = ct.SolverOptions(**kw)

@@ -15,6 +15,8 @@ from ceres_tpu.linear.cg import (
 )
 from ceres_tpu.trust_region import LevenbergMarquardtStrategy
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _op(A):
     A = jnp.asarray(A)

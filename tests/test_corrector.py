@@ -20,6 +20,8 @@ from ceres_tpu.loss import (
     correct_residuals,
 )
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 LOSSES = [
     ct.HuberLoss(0.7),
     ct.SoftLOneLoss(1.3),

@@ -14,6 +14,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.covariance import Covariance, CovarianceOptions
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _linear_problem(sigma=1.0):
     """r_i = A_i x - b_i with known A: covariance = (J'J)^{-1}."""

@@ -7,6 +7,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.evaluator import Evaluator
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _powell_problem():
     def powell_fn(x1, x2, x3, x4):

@@ -6,6 +6,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.models import bal
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 @pytest.fixture(scope="module")
 def instance():

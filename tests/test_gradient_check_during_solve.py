@@ -4,10 +4,13 @@ iterate where the analytic Jacobian disagrees with finite differences —
 not only at x0 (VERDICT r1 missing #7)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 import ceres_tpu as ct
+
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
 
 
 # A residual term whose hand-written (custom_jvp) derivative is correct

@@ -20,6 +20,8 @@ from ceres_tpu.linear.preconditioners import (
     scalar_jacobi_preconditioner,
 )
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _random_problem(seed=0, n_blocks=6, block=3, n_res=40):
     """Random well-conditioned least-squares problem via the Problem API."""

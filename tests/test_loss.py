@@ -23,6 +23,8 @@ from ceres_tpu.loss import (
     correct_residuals,
 )
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 LOSSES = [
     TrivialLoss(),
     HuberLoss(0.7),

@@ -12,6 +12,8 @@ import pytest
 
 import ceres_tpu as ct
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 # name -> (residual fn, x0, expected minimal cost 0.5*||r||^2, blocks)
 def _rosenbrock():

@@ -8,6 +8,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.gradient_checker import GradientChecker, check_problem_gradients
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def test_tiny_solver_rosenbrock_residuals():
     def fn(x):

@@ -25,6 +25,8 @@ from ceres_tpu.numeric_diff import (
 )
 from ceres_tpu.types import NumericDiffMethodType as M
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 class TestNumericDiff:
     """EasyFunctor y1 = x1'x2, y2 = |x1|*|x2| analog tolerances

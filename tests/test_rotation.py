@@ -8,6 +8,8 @@ import pytest
 
 from ceres_tpu import rotation as rot
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _rand_angle_axis(rng, scale=1.0):
     v = rng.standard_normal(3)

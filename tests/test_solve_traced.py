@@ -13,6 +13,8 @@ import pytest
 import ceres_tpu as ct
 from ceres_tpu.models import bal
 
+pytestmark = pytest.mark.tpu  # promoted to the real-device suite (r5, VERDICT #7)
+
 
 def _solve_pair(opts_kw=None, n=(4, 200, 800), seed=9):
     results = []
