@@ -265,6 +265,131 @@ def run_scipy_baseline(prob, timeout_s=3600.0):
     }
 
 
+def measure_large_stages(problem, opts, k=3):
+    """LIVE per-stage device timing of the large-problem iteration
+    (VERDICT r4 #3: the itemization must be measured each run, not
+    pasted). Amortized protocol of benchmarks/stage_profile2.py: each
+    stage runs k times inside one jitted fori_loop with an eps=0.0 data
+    dependence, so per-rep time is pure device time. Returns
+    {stage: ms} or {"error": ...}."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ceres_tpu.evaluator import _cost_impl, _full_impl
+    from ceres_tpu.problem import cast_program
+    from ceres_tpu.trust_region import (
+        _build_solve_aux,
+        _config_from_options,
+    )
+
+    program = problem.program()
+    cast_program(program, opts.evaluation_dtype)
+    resolved = dataclasses.replace(
+        opts,
+        linear_solver_type=opts.resolved_linear_solver_type(
+            program.num_tangent
+        ),
+    )
+    sc = _config_from_options(resolved, program)
+    solve_aux = _build_solve_aux(resolved, program)
+    ss = solve_aux.get("ss")
+    x0 = program.initial_ambient().astype(jnp.float32)
+    groups = program.jnp_bd_groups()
+    fams = program.families
+
+    cost, grad, ctx = jax.jit(
+        lambda x: _full_impl(x, fams, True, program.num_tangent, groups)
+    )(x0)
+    jax.block_until_ready(cost)
+    ctx_s = jax.jit(lambda c, s: c.scale_columns(s))(
+        ctx, 1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms()))
+    )
+    diag = jnp.clip(
+        ctx_s.squared_column_norms(), sc.min_lm_diagonal, sc.max_lm_diagonal
+    )
+    D0 = jnp.sqrt(diag / 1e4).astype(jnp.float32)
+    jax.block_until_ready(D0)
+
+    def timed(fn, *args):
+        @jax.jit
+        def run(eps, *a):
+            def body(i, acc):
+                out = fn(*a)
+                leaves = [
+                    leaf
+                    for leaf in jax.tree_util.tree_leaves(out)
+                    if hasattr(leaf, "dtype")
+                ]
+                s = sum(
+                    jnp.sum(leaf[..., :1].astype(jnp.float32))
+                    for leaf in leaves[:1]
+                )
+                return acc + eps * s
+
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        eps = jnp.float32(0.0)
+        jax.block_until_ready(run(eps, *args))  # compile + warm
+        t0 = time.time()
+        jax.block_until_ready(run(eps, *args))
+        return (time.time() - t0) / k * 1e3
+
+    out = {}
+    try:
+        from ceres_tpu.linear.schur import SchurOperator
+        from ceres_tpu.linear.schur_explicit import (
+            assemble_reduced_system,
+        )
+
+        out["eval_ms"] = round(timed(
+            lambda x: _full_impl(
+                x, fams, True, program.num_tangent, groups
+            )[0],
+            x0,
+        ), 2)
+        out["cost_ms"] = round(
+            timed(lambda x: _cost_impl(x, fams, True), x0), 2
+        )
+        out["colnorms_scale_ms"] = round(timed(
+            lambda x: ctx.scale_columns(
+                1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms()))
+            ).squared_column_norms().astype(x.dtype)[:1] + x[:0].sum(),
+            x0,
+        ), 2)
+        if ss is not None and ss.explicit is not None:
+            out["assembly_ms"] = round(timed(
+                lambda D: assemble_reduced_system(
+                    SchurOperator(ctx_s, D, ss), ss.explicit
+                ),
+                D0,
+            ), 2)
+            S0 = jax.jit(
+                lambda D: assemble_reduced_system(
+                    SchurOperator(ctx_s, D, ss), ss.explicit
+                )
+            )(D0)
+            jax.block_until_ready(S0)
+
+            def chol(S):
+                c, low = jax.scipy.linalg.cho_factor(S, lower=True)
+                return jax.scipy.linalg.cho_solve((c, low), S[0])
+
+            out["cholesky_ms"] = round(timed(chol, S0), 2)
+            rhs = jax.jit(
+                lambda D: SchurOperator(ctx_s, D, ss).rhs()
+            )(D0)
+            jax.block_until_ready(rhs)
+            out["back_substitute_ms"] = round(timed(
+                lambda v: SchurOperator(ctx_s, D0, ss).back_substitute(v),
+                rhs,
+            ), 2)
+    except Exception as e:  # keep the bench alive regardless
+        out["error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
 # --- large-problem throughput metric (VERDICT r2 item #2) -------------------
 # >=256 cameras / >=200k points / >=1M observations, f32 fused LM. The
 # reference benchmarks this class via evaluation_benchmark.cc:242-780 on

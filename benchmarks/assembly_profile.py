@@ -1,11 +1,8 @@
-"""Sub-stage device timing of the explicit Schur assembly (round-5 kernel work).
+"""Sub-stage device timing of the explicit Schur assembly (r5 flat form).
 
-Breaks the 562 ms/iter `dense_reduced_system` into its pieces on the real
-chip, amortized inside a jitted fori_loop (same protocol as
-stage_profile2.py), and times candidate reformulations side by side.
-
-Usage: python benchmarks/assembly_profile.py [C P O [K]]
+Usage: STAGES=full,op,wy,cells,place python benchmarks/assembly_profile.py [C P O [K]]
 """
+import os
 import sys
 import time
 
@@ -27,12 +24,13 @@ from ceres_tpu.trust_region import _build_solve_aux, _config_from_options
 C = int(sys.argv[1]) if len(sys.argv) > 1 else 464
 P = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
 O = int(sys.argv[3]) if len(sys.argv) > 3 else 1_200_000
-K = int(sys.argv[4]) if len(sys.argv) > 4 else 10
-import os
+K = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 STAGES = set(os.environ.get("STAGES", "").split(",")) - {""}
+
 
 def want(s):
     return not STAGES or s in STAGES
+
 
 print("devices:", jax.devices(), flush=True)
 t0 = time.time()
@@ -54,44 +52,31 @@ fams = program.families
 ss = solve_aux["ss"]
 plan = ss.explicit
 print(f"setup: {time.time()-t0:.1f}s", flush=True)
-
-# ---- plan statistics --------------------------------------------------------
 print(f"plan: nf={plan.nf} grid_ok={plan.grid_ok} "
-      f"grouped_identity={plan.grouped_identity}")
-print(f"  ftf parts: {len(plan.ftf)}")
-for p_ in plan.ftf:
-    for nm in ("diag", "low", "lowt"):
-        pl_ = getattr(p_, f"plan_{nm}")
-        if pl_ is not None:
-            r = getattr(p_, f"rows_{nm}")
-            print(f"    fi={p_.fi} j1={p_.j1} j2={p_.j2} {nm}: kind={pl_.kind} "
-                  f"C={r.shape[0]} T=({r.shape[1]})")
-print(f"  corr cells: {len(plan.corr)} groups")
-tot_pair_slots = 0
-for cc in plan.corr:
-    Cc, Kc = cc.a_idx.shape
-    valid = int(np.sum(np.asarray(cc.a_idx) < 10**9))
-    nvalid = int(np.sum(np.asarray(cc.a_idx) != (cc.a_idx.max())))
-    tot_pair_slots += Cc * Kc
-    print(f"    T=({cc.T1},{cc.T2}) diag={cc.diagonal} C={Cc} K={Kc} "
-          f"slots={Cc*Kc}")
-print(f"  total ELL pair slots: {tot_pair_slots}")
+      f"ftf_sites={len(plan.ftf)} corr_groups={len(plan.corr)}")
+for s_ in plan.ftf:
+    print(f"  ftf fi={s_.fi} ({s_.jA},{s_.jB}) diag={s_.diagonal} "
+          f"C={s_.rows.shape[0]} B={s_.perm.shape[0]} kind={s_.plan.kind}")
+for g_ in plan.corr:
+    print(f"  corr T=({g_.T1},{g_.T2}) diag={g_.diagonal} C={g_.num_cells} "
+          f"pairs={g_.a_idx.shape[0]} kind={g_.plan.kind}")
 
-# ---- build the fixed ctx / operator ----------------------------------------
 full_jit = jax.jit(lambda x: _full_impl(x, fams, True, program.num_tangent, groups))
 cost, grad, ctx = full_jit(x0)
 jax.block_until_ready(cost)
-scaling = 1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms()))
-ctx_s = jax.jit(lambda c, s: c.scale_columns(s))(ctx, scaling)
+ctx_s = jax.jit(lambda c, s: c.scale_columns(s))(
+    ctx, 1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms())))
 diag = jnp.clip(ctx_s.squared_column_norms(), sc.min_lm_diagonal, sc.max_lm_diagonal)
 D0 = jnp.sqrt(diag / 1e4).astype(jnp.float32)
 jax.block_until_ready(D0)
 
 from ceres_tpu.linear.schur import SchurOperator
+from ceres_tpu.linear.schur_explicit import (
+    assemble_reduced_system, compute_cell_blocks, plan_sites,
+)
 
 
 def timed(name, fn, *args, k=K):
-    """Amortized: run fn k times in a fori_loop with a fake data dep."""
     @jax.jit
     def run(eps, *a):
         def body(i, acc):
@@ -117,201 +102,39 @@ def timed(name, fn, *args, k=K):
     return dt
 
 
-# 1. Full assembly (what the LM step calls)
-def full_assembly(D):
-    op = SchurOperator(ctx_s, D, ss)
-    from ceres_tpu.linear.schur_explicit import assemble_reduced_system
-    return assemble_reduced_system(op, plan)
-
 if want("full"):
-    timed("full assembly (S)", full_assembly, D0)
-
-
-# 2. Operator construction alone (E'E inverse etc.)
-def op_build(D):
-    op = SchurOperator(ctx_s, D, ss)
-    return op._ete_inv
+    timed("full assembly (S)",
+          lambda D: assemble_reduced_system(SchurOperator(ctx_s, D, ss), plan),
+          D0)
 
 if want("op"):
-    timed("op build (ete_inv)", op_build, D0)
-
-
-# 3. W/Y slabs alone
-def wy_build(D):
-    op = SchurOperator(ctx_s, D, ss)
-    dt_ = op.dtype
-    Te = ss.e_tangent_size
-    Minv = jnp.concatenate(
-        [op._ete_inv, jnp.zeros((1, Te, Te), dtype=dt_)], axis=0)
-    outs = []
-    for T, args in plan.slot_args:
-        for fi, j in args:
-            ea = ss.e_arg[fi]
-            E = ctx_s.jacs[fi][ea]
-            F = ctx_s.jacs[fi][j]
-            w = jnp.einsum("bre,brt->bet", E, F)
-            m = Minv[ss.e_pos[fi]]
-            y = jnp.einsum("bef,bft->bet", m, w)
-            outs.append((w, y))
-    return outs
-
-if want("wy"):
-    timed("W/Y build", wy_build, D0)
-
-
-# 4. cell blocks (compute_cell_blocks = W/Y + gathers + dots, no placement)
-def cells_only(D):
-    op = SchurOperator(ctx_s, D, ss)
-    from ceres_tpu.linear.schur_explicit import compute_cell_blocks
-    _, blocks = compute_cell_blocks(op, plan)
-    return blocks
+    timed("op build (ete_inv)",
+          lambda D: SchurOperator(ctx_s, D, ss)._ete_inv, D0)
 
 if want("cells"):
-    timed("cell blocks (no placement)", cells_only, D0)
+    timed("cell blocks (no placement)",
+          lambda D: compute_cell_blocks(SchurOperator(ctx_s, D, ss), plan)[1],
+          D0)
 
+if want("place"):
+    sites = plan_sites(plan)
+    blocks0 = jax.jit(
+        lambda D: compute_cell_blocks(SchurOperator(ctx_s, D, ss), plan)[1]
+    )(D0)
+    jax.block_until_ready(blocks0)
 
-# 5. correction contraction alone, given precomputed W/Y (current form)
-def _wy_concat(D):
-    op = SchurOperator(ctx_s, D, ss)
-    dt_ = op.dtype
-    Te = ss.e_tangent_size
-    Minv = jnp.concatenate(
-        [op._ete_inv, jnp.zeros((1, Te, Te), dtype=dt_)], axis=0)
-    W = {}
-    Y = {}
-    for T, args in plan.slot_args:
-        ws, ys = [], []
-        for fi, j in args:
-            ea = ss.e_arg[fi]
-            E = ctx_s.jacs[fi][ea]
-            F = ctx_s.jacs[fi][j]
-            w = jnp.einsum("bre,brt->bet", E, F)
-            m = Minv[ss.e_pos[fi]]
-            ws.append(w)
-            ys.append(jnp.einsum("bef,bft->bet", m, w))
-        pad = jnp.zeros((1, Te, T), dtype=dt_)
-        W[T] = jnp.concatenate(ws + [pad], axis=0)
-        Y[T] = jnp.concatenate(ys + [pad], axis=0)
-    return W, Y
-
-NEED_WY = not STAGES or STAGES & {"corr", "gather", "flat27", "gather27"}
-WY = jax.jit(_wy_concat)(D0) if NEED_WY else None
-if NEED_WY: jax.block_until_ready(WY)
-Te = ss.e_tangent_size
-
-
-def corr_current(W, Y):
-    outs = []
-    for cc in plan.corr:
-        Cc, Kc = cc.a_idx.shape
-        Wa = W[cc.T1][cc.a_idx.reshape(-1)].reshape(Cc, Kc * Te, cc.T1)
-        Yb = Y[cc.T2][cc.b_idx.reshape(-1)].reshape(Cc, Kc * Te, cc.T2)
-        blocks = -jax.lax.dot_general(Wa, Yb, (((1,), (1,)), ((0,), (0,))))
-        outs.append(blocks)
-    return outs
-
-if want("corr"):
-    timed("corr contraction (current ELL)", corr_current, *WY)
-
-
-# 5b. raw gather cost alone
-def corr_gather_only(W, Y):
-    outs = []
-    for cc in plan.corr:
-        Wa = W[cc.T1][cc.a_idx.reshape(-1)]
-        Yb = Y[cc.T2][cc.b_idx.reshape(-1)]
-        outs.append((Wa, Yb))
-    return outs
-
-if want("gather"):
-    timed("corr gathers only", corr_gather_only, *WY)
-
-
-# 5c. variant: flatten W to (N,27) first, gather 27-wide, dot over (K*3)
-def _wflat(W):
-    return {T: w.reshape(w.shape[0], -1) for T, w in W.items()}
-
-NEED_F = not STAGES or STAGES & {"flat27", "gather27"}
-WF = jax.jit(_wflat)(WY[0]) if NEED_F else None
-YF = jax.jit(_wflat)(WY[1]) if NEED_F else None
-if NEED_F: jax.block_until_ready((WF, YF))
-
-
-def corr_flat27(WFv, YFv):
-    outs = []
-    for cc in plan.corr:
-        Cc, Kc = cc.a_idx.shape
-        Wa = WFv[cc.T1][cc.a_idx.reshape(-1)]  # (C*K, 27)
-        Yb = YFv[cc.T2][cc.b_idx.reshape(-1)]
-        Wa = Wa.reshape(Cc, Kc, Te * cc.T1)
-        Yb = Yb.reshape(Cc, Kc, Te * cc.T2)
-        T27 = jax.lax.dot_general(Wa, Yb, (((1,), (1,)), ((0,), (0,))))
-        # blocks[c,i,j] = sum_e T27[c, e*T1+i, e*T2+j]
-        b = sum(T27[:, e * cc.T1:(e + 1) * cc.T1, e * cc.T2:(e + 1) * cc.T2]
-                for e in range(Te))
-        outs.append(-b)
-    return outs
-
-if want("flat27"):
-    timed("corr flat27 gather+dot", corr_flat27, WF, YF)
-
-
-# 5d. gather flat-27 only
-def corr_gather27(WFv, YFv):
-    outs = []
-    for cc in plan.corr:
-        outs.append((WFv[cc.T1][cc.a_idx.reshape(-1)],
-                     YFv[cc.T2][cc.b_idx.reshape(-1)]))
-    return outs
-
-if want("gather27"):
-    timed("corr gathers only (27-wide)", corr_gather27, WF, YF)
-
-
-# 6. F'F part alone
-def ftf_only(D):
-    op = SchurOperator(ctx_s, D, ss)
-    from ceres_tpu.ops.reduce import apply_reduce
-    outs = []
-    for part in plan.ftf:
-        F1 = ctx_s.jacs[part.fi][part.j1]
-        F2 = ctx_s.jacs[part.fi][part.j2]
-        X = jnp.einsum("bri,brj->bij", F1, F2)
-        for nm in ("diag", "low", "lowt"):
-            pl_ = getattr(part, f"plan_{nm}")
-            if pl_ is not None:
-                outs.append(apply_reduce(pl_, X))
-    return outs
-
-if want("ftf"):
-    timed("F'F reduce", ftf_only, D0)
-
-
-# 7. placement alone (precompute blocks once, then place)
-from ceres_tpu.linear.schur_explicit import compute_cell_blocks
-
-
-def _blocks(D):
-    op = SchurOperator(ctx_s, D, ss)
-    return compute_cell_blocks(op, plan)
-
-NEED_B = not STAGES or "place" in STAGES
-sites, blocks0 = jax.jit(lambda D: _blocks(D))(D0) if NEED_B else (None, None)
-if NEED_B: jax.block_until_ready(blocks0)
-
-
-def place_only(blocks):
-    nf = plan.nf
-    S_d = jnp.zeros((nf, nf), jnp.float32)
-    S_l = jnp.zeros((nf, nf), jnp.float32)
-    for site, blocks_ in zip(sites, blocks):
-        if site.inv is not None:
-            Cc, T1, T2 = blocks_.shape
-            bp = jnp.concatenate(
-                [blocks_, jnp.zeros((1, T1, T2), blocks_.dtype)], axis=0)
+    def place_only(blocks):
+        nf = plan.nf
+        S_d = jnp.zeros((nf, nf), jnp.float32)
+        S_l = jnp.zeros((nf, nf), jnp.float32)
+        for site, b in zip(sites, blocks):
+            Cc = b.shape[0]
+            T1, T2 = site.T1, site.T2
+            bp = jnp.concatenate([b, jnp.zeros((1, T1 * T2), b.dtype)], 0)
             grid = bp[site.inv]
-            rect = grid.transpose(0, 2, 1, 3).reshape(
-                site.inv.shape[0] * T1, site.inv.shape[1] * T2)
+            rect = (grid.reshape(site.inv.shape[0], site.inv.shape[1], T1, T2)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(site.inv.shape[0] * T1, site.inv.shape[1] * T2))
             r0, c0 = site.offs
             S = S_d if site.diagonal else S_l
             cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
@@ -320,7 +143,18 @@ def place_only(blocks):
                 S_d = S
             else:
                 S_l = S
-    return S_d + S_l + S_l.T
+        return S_d + S_l + S_l.T
 
-if want("place"):
     timed("placement (grid gather + DUS)", place_only, blocks0)
+
+if want("chol"):
+    S0 = jax.jit(
+        lambda D: assemble_reduced_system(SchurOperator(ctx_s, D, ss), plan)
+    )(D0)
+    jax.block_until_ready(S0)
+
+    def chol(S):
+        c, low = jax.scipy.linalg.cho_factor(S, lower=True)
+        return jax.scipy.linalg.cho_solve((c, low), S[0])
+
+    timed("cho_factor+solve", chol, S0)

@@ -239,6 +239,13 @@ def host_normal_factor_solve(
         assembly.pos, weights=vals, minlength=assembly.nnz + 1
     )[: assembly.nnz]
     D64 = np.asarray(D, dtype=np.float64)
+    if mixed_precision:
+        # f32-factor damping floor (the _lm_damping f32 branch applied at
+        # the factorization precision): D^2 < eps_f32 * diag(H) adds
+        # nothing representable once the values are cast to f32, leaving
+        # gauge-singular systems undamped no matter the radius.
+        hdiag = np.maximum(data[assembly.diag_pos], 0.0)
+        D64 = np.maximum(D64, np.sqrt(hdiag) * 3.5e-4)
     data[assembly.diag_pos] += D64 * D64
 
     if assembly.cholesky is None:

@@ -8,19 +8,29 @@ implementation): the reduced camera system
 
 is assembled in ONE pass over the residual blocks instead of probing S
 column-by-column with vmapped ``S . e_i`` products. The reference loops
-over e-block chunks under locks; here every term is a batched einsum plus
-a host-planned gather reduction:
+over e-block chunks under locks; here every term is a flat-batched
+einsum plus a SORTED segment reduction (ops/pallas_segment block-CSR
+kernel on TPU, ELL gather on CPU):
 
-- the ``F'F`` term reduces per-instance ``F_i' F_j`` blocks into
-  camera-pair cells with segment-reduction plans (ceres_tpu.ops.reduce);
+- the ``F'F`` term permutes the per-instance Jacobian rows into
+  cell-sorted order (host-built permutation) and segment-reduces the
+  per-instance ``F_i' F_j`` products into camera-pair cells;
 - the correction term enumerates, per point, the pairs of observations
   (the reference's chunk outer product, schur_eliminator_impl.h:228-330)
-  and reduces ``W_a' M_p^{-1} W_b`` blocks into camera-pair cells with an
-  ELL gather + one MXU einsum per cell group.
+  as FLAT cell-sorted index arrays and segment-reduces the per-pair
+  ``-W_a' M_p^{-1} W_b`` products into camera-pair cells.
+
+Layout rule (r5): contributions and cell blocks are kept FLAT —
+``(N, T1*T2)`` — end to end. XLA tile-pads a trailing ``(.., 9, 9)``
+pair of dims to (16, 128) (57x memory expansion at BAL scale, measured:
+a materialized (3M, 9, 9) f32 intermediate costs 24.6 GB); a trailing
+81 pads only to the lane remainder. The r4 ELL formulation tripped this
+cliff inside the fused solve (XLA rematerialized the near-OOM graph:
+562 ms/iter); the flat form runs the same math in ~30 ms.
 
 All pair/cell structures are built once on the host from the (static)
-visibility pattern; assembly itself is pure XLA with unique-index
-scatters only.
+visibility pattern; assembly itself is pure XLA + the Pallas segment
+kernel with unique-index placement only.
 """
 
 from __future__ import annotations
@@ -36,74 +46,64 @@ from ceres_tpu.ops.reduce import ReducePlan, apply_reduce, build_reduce_plan
 
 
 @dataclasses.dataclass(frozen=True)
-class FtFPart:
-    """F'F cell reduction for one (family, arg-pair)."""
+class FtFSite:
+    """F'F cell reduction for one (family, oriented arg-pair, kind).
+
+    Device compute: gather the valid instance rows of jacs[fi][jA] /
+    jacs[fi][jB] through ``perm`` (cell-sorted order; invalid/masked
+    instances are simply absent), contract to flat (B, T1*T2) blocks,
+    segment-reduce by sorted cell id. ``sym`` adds the transposed block
+    after reduction (diagonal cells receive both (j1,j2) and (j2,j1)).
+    """
 
     fi: int
-    j1: int
-    j2: int
-    # Reduce B instances into diagonal cells / strict-lower cells /
-    # strict-lower cells holding the TRANSPOSED contribution.
-    plan_diag: Optional[ReducePlan]
-    rows_diag: Optional[jax.Array]  # (Cd, T1) reduced row coords
-    cols_diag: Optional[jax.Array]  # (Cd, T2)
-    plan_low: Optional[ReducePlan]
-    rows_low: Optional[jax.Array]
-    cols_low: Optional[jax.Array]
-    plan_lowt: Optional[ReducePlan]
-    rows_lowt: Optional[jax.Array]  # coords for X^T placed at (p2, p1)
-    cols_lowt: Optional[jax.Array]
-    # Gather-placement alternative (see assemble_reduced_system): for
-    # each kind, an (n1, n2) int32 grid mapping (row-block, col-block)
-    # ordinals within the size-grouped basis to a cell index (dummy = C),
-    # plus the static rectangle offset in the grouped S. XLA scatters
-    # execute near-serially on TPU; a grid GATHER + static-offset
-    # dynamic-update-slice places the same blocks at memory speed.
-    inv_diag: Optional[jax.Array] = None
-    inv_low: Optional[jax.Array] = None
-    inv_lowt: Optional[jax.Array] = None
-    offs_diag: Optional[Tuple[int, int]] = None
-    offs_low: Optional[Tuple[int, int]] = None
-    offs_lowt: Optional[Tuple[int, int]] = None
+    jA: int
+    jB: int
+    diagonal: bool
+    sym: bool
+    perm: jax.Array  # (Bp,) int32 instance rows, cell-sorted (pad = 0)
+    plan: ReducePlan
+    rows: jax.Array  # (C, T1) reduced row coords
+    cols: jax.Array  # (C, T2)
+    inv: Optional[jax.Array] = None  # (n1, n2) grid -> cell (dummy = C)
+    offs: Optional[Tuple[int, int]] = None
 
 
 jax.tree_util.register_dataclass(
-    FtFPart,
-    data_fields=[
-        "plan_diag", "rows_diag", "cols_diag",
-        "plan_low", "rows_low", "cols_low",
-        "plan_lowt", "rows_lowt", "cols_lowt",
-        "inv_diag", "inv_low", "inv_lowt",
-    ],
-    meta_fields=["fi", "j1", "j2", "offs_diag", "offs_low", "offs_lowt"],
+    FtFSite,
+    data_fields=["perm", "plan", "rows", "cols", "inv"],
+    meta_fields=["fi", "jA", "jB", "diagonal", "sym", "offs"],
 )
 
 
 @dataclasses.dataclass(frozen=True)
-class CorrCells:
-    """Correction-term cells for one (T1, T2) slot-space pair.
+class PairGroup:
+    """Correction-term cells for one (T1, T2, diagonal) group.
 
-    ``a_idx``/``b_idx`` index into the concatenated W slot spaces of f
-    sizes T1/T2 (padded row = zeros). ``diagonal`` cells already contain
-    every ordered pair; ``mirror`` (strict-lower) cells are transposed
-    into the upper triangle by the assembler.
+    ``a_idx``/``b_idx`` are FLAT cell-sorted pair lists into the
+    concatenated W slot spaces of f sizes T1/T2 (pad index = the zero
+    pad row N). ``diagonal`` cells already contain every ordered pair;
+    strict-lower cells are mirrored into the upper triangle by the
+    assembler.
     """
 
     T1: int
     T2: int
     diagonal: bool
-    a_idx: jax.Array  # (C, K) int32 into T1 slot space (pad = N1)
-    b_idx: jax.Array  # (C, K) int32 into T2 slot space (pad = N2)
-    rows: jax.Array  # (C, T1) reduced row coordinates
-    cols: jax.Array  # (C, T2) reduced col coordinates
-    inv_map: Optional[jax.Array] = None  # (n1, n2) grid -> cell (dummy=C)
-    offs: Optional[Tuple[int, int]] = None  # grouped-basis rect offset
+    num_cells: int
+    a_idx: jax.Array  # (Pp,) int32 into T1 slot space
+    b_idx: jax.Array  # (Pp,) int32 into T2 slot space
+    plan: ReducePlan  # sorted cell ids -> num_cells groups
+    rows: jax.Array  # (C, T1)
+    cols: jax.Array  # (C, T2)
+    inv: Optional[jax.Array] = None
+    offs: Optional[Tuple[int, int]] = None
 
 
 jax.tree_util.register_dataclass(
-    CorrCells,
-    data_fields=["a_idx", "b_idx", "rows", "cols", "inv_map"],
-    meta_fields=["T1", "T2", "diagonal", "offs"],
+    PairGroup,
+    data_fields=["a_idx", "b_idx", "plan", "rows", "cols", "inv"],
+    meta_fields=["T1", "T2", "diagonal", "num_cells", "offs"],
 )
 
 
@@ -112,13 +112,13 @@ class ExplicitSchurPlan:
     nf: int
     # W slot spaces: per f tangent size, the (fi, j) args concatenated.
     slot_args: Tuple[Tuple[int, Tuple[Tuple[int, int], ...]], ...]  # meta
-    ftf: Tuple[FtFPart, ...]
-    corr: Tuple[CorrCells, ...]
+    ftf: Tuple[FtFSite, ...]
+    corr: Tuple[PairGroup, ...]
     f_reduced: jax.Array  # (num_tangent+1,) tangent coord -> reduced (or nf)
     # Gather-placement support: assembly happens in a size-grouped
     # permutation of the reduced basis (all f-blocks of one tangent size
     # contiguous); g_of_r maps reduced coord -> grouped coord. When
-    # grid_ok every scatter site carries an inv_map and assembly is
+    # grid_ok every scatter site carries an inv map and assembly is
     # scatter-free; grouped_identity skips the final unpermute.
     g_of_r: Optional[jax.Array] = None
     grid_ok: bool = False
@@ -132,7 +132,6 @@ jax.tree_util.register_dataclass(
 )
 
 
-
 def _host_pos(ss, fi, j=None):
     """Host numpy copy of ss.e_pos[fi] (j=None) / ss.f_pos[fi][j] without a
     device->host transfer when build_schur_structure stashed one."""
@@ -142,28 +141,11 @@ def _host_pos(ss, fi, j=None):
     h = getattr(ss, "_host_f_pos", None)
     return h[fi][j] if h is not None else np.asarray(ss.f_pos[fi][j])
 
+
 # Cap on the transient (n1, n2, T1, T2) gather grid used by the
 # scatter-free placement (elements; 64M f32 = 256 MB). Above it the
 # legacy scatter path assembles that plan.
 GRID_MAX_ELEMS = 64_000_000
-
-
-def _cells_from_pairs(keys, rows_of, cols_of, T1, T2):
-    """keys: list of (p1, p2) cell keys per item; returns (cell_ids,
-    ordered unique cells, rows, cols matrices, uniq dict)."""
-    uniq: Dict[Tuple[int, int], int] = {}
-    ids = np.empty(len(keys), dtype=np.int64)
-    for i, k in enumerate(keys):
-        if k not in uniq:
-            uniq[k] = len(uniq)
-        ids[i] = uniq[k]
-    C = len(uniq)
-    rows = np.empty((C, T1), dtype=np.int32)
-    cols = np.empty((C, T2), dtype=np.int32)
-    for (p1, p2), c in uniq.items():
-        rows[c] = rows_of(p1)
-        cols[c] = cols_of(p2)
-    return ids, C, rows, cols, uniq
 
 
 def _grid_inverse(uniq, n1, n2, T1, T2):
@@ -227,8 +209,38 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
         np.array_equal(g_of_r, np.arange(nf, dtype=np.int32))
     )
 
-    # ---- F'F cells -------------------------------------------------------
-    ftf_parts: List[FtFPart] = []
+    def cell_maps(keys_ab, Ta, Tb):
+        """Unique cells from (pa, pb) keys: ids per item, count, coord
+        matrices, ordinal-grid inverse + offsets (when allowed)."""
+        uniq: Dict[Tuple[int, int], int] = {}
+        ids = np.empty(len(keys_ab), dtype=np.int64)
+        for i, k in enumerate(keys_ab):
+            if k not in uniq:
+                uniq[k] = len(uniq)
+            ids[i] = uniq[k]
+        C = len(uniq)
+        rows = np.empty((C, Ta), dtype=np.int32)
+        cols = np.empty((C, Tb), dtype=np.int32)
+        for (p1, p2), c in uniq.items():
+            rows[c] = reduced_coords(Ta, p1)
+            cols[c] = reduced_coords(Tb, p2)
+        inv = offs = None
+        if grid_allowed:
+            oa, ob = ordinal_of_pos[Ta], ordinal_of_pos[Tb]
+            ord_uniq = {
+                (int(oa[pa]), int(ob[pb])): c
+                for (pa, pb), c in uniq.items()
+            }
+            if all(a >= 0 and b >= 0 for a, b in ord_uniq):
+                inv = _grid_inverse(
+                    ord_uniq, num_active[Ta], num_active[Tb], Ta, Tb
+                )
+                if inv is not None:
+                    offs = (size_row_off[Ta], size_row_off[Tb])
+        return ids, C, rows, cols, inv, offs
+
+    # ---- F'F sites ---------------------------------------------------------
+    ftf_sites: List[FtFSite] = []
     for fi, fam in enumerate(families):
         ea = ss.e_arg[fi]
         f_args = [
@@ -246,102 +258,62 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 G1 = f_groups.get(T1, np.zeros((0, T1))).shape[0]
                 G2 = f_groups.get(T2, np.zeros((0, T2))).shape[0]
                 valid = (p1 < G1) & (p2 < G2)
-                # Orient each instance: diagonal / lower / transposed.
-                kinds = np.full(B, -1, dtype=np.int8)
+                # Orient each instance: diagonal / lower / transposed
+                # (the transposed kind contributes F_j2' F_j1 at the
+                # SWAPPED cell, replacing the old post-hoc X^T).
                 s1 = np.full(B, -1, dtype=np.int64)
                 s2 = np.full(B, -1, dtype=np.int64)
                 vidx = np.nonzero(valid)[0]
                 for b in vidx:
                     s1[b] = start(T1, int(p1[b]))
                     s2[b] = start(T2, int(p2[b]))
+                kinds = np.full(B, -1, dtype=np.int8)
                 kinds[vidx] = np.where(
                     s1[vidx] == s2[vidx],
                     0,
                     np.where(s1[vidx] > s2[vidx], 1, 2),
                 )
 
-                def make(kind, key_fn, Ta, Tb, rows_of, cols_of):
+                def make_site(kind, jA, jB, Ta, Tb, key_fn, diagonal, sym):
                     sel = np.nonzero(kinds == kind)[0]
                     if sel.size == 0:
-                        return None, None, None, None, None
+                        return
                     keys = [key_fn(b) for b in sel]
-                    ids, C, rows, cols, uniq = _cells_from_pairs(
-                        keys, rows_of, cols_of, Ta, Tb
-                    )
-                    seg = np.full(B, C, dtype=np.int64)
-                    seg[sel] = ids
-                    # Grid inverse over ACTIVE block ordinals for the
-                    # scatter-free placement.
-                    inv = offs = None
-                    if grid_allowed:
-                        oa, ob = ordinal_of_pos[Ta], ordinal_of_pos[Tb]
-                        ord_uniq = {
-                            (int(oa[pa]), int(ob[pb])): c
-                            for (pa, pb), c in uniq.items()
-                        }
-                        if all(a >= 0 and b >= 0 for a, b in ord_uniq):
-                            inv = _grid_inverse(
-                                ord_uniq, num_active[Ta], num_active[Tb],
-                                Ta, Tb,
-                            )
-                            if inv is not None:
-                                offs = (size_row_off[Ta], size_row_off[Tb])
-                    return (
-                        build_reduce_plan(seg, C),
-                        jnp.asarray(rows),
-                        jnp.asarray(cols),
-                        inv,
-                        offs,
+                    ids, C, rows, cols, inv, offs = cell_maps(keys, Ta, Tb)
+                    order = np.argsort(ids, kind="stable")
+                    perm = sel[order].astype(np.int32)
+                    seg_sorted = ids[order]
+                    ftf_sites.append(
+                        FtFSite(
+                            fi=fi,
+                            jA=jA,
+                            jB=jB,
+                            diagonal=diagonal,
+                            sym=sym,
+                            perm=jnp.asarray(perm),
+                            plan=build_reduce_plan(seg_sorted, C),
+                            rows=jnp.asarray(rows),
+                            cols=jnp.asarray(cols),
+                            inv=inv,
+                            offs=offs,
+                        )
                     )
 
-                plan_d, rows_d, cols_d, inv_d, offs_d = make(
-                    0,
+                make_site(
+                    0, j1, j2, T1, T2,
                     lambda b: (int(p1[b]), int(p2[b])),
-                    T1,
-                    T2,
-                    lambda p: reduced_coords(T1, p),
-                    lambda p: reduced_coords(T2, p),
+                    True, j1 != j2,
                 )
-                plan_l, rows_l, cols_l, inv_l, offs_l = make(
-                    1,
+                make_site(
+                    1, j1, j2, T1, T2,
                     lambda b: (int(p1[b]), int(p2[b])),
-                    T1,
-                    T2,
-                    lambda p: reduced_coords(T1, p),
-                    lambda p: reduced_coords(T2, p),
+                    False, False,
                 )
-                # transposed: X^T goes to cell (p2, p1) (strict lower).
-                plan_t, rows_t, cols_t, inv_t, offs_t = make(
-                    2,
+                # transposed: F_j2' F_j1 at cell (p2, p1) (strict lower).
+                make_site(
+                    2, j2, j1, T2, T1,
                     lambda b: (int(p2[b]), int(p1[b])),
-                    T2,
-                    T1,
-                    lambda p: reduced_coords(T2, p),
-                    lambda p: reduced_coords(T1, p),
-                )
-                if plan_d is None and plan_l is None and plan_t is None:
-                    continue
-                ftf_parts.append(
-                    FtFPart(
-                        fi=fi,
-                        j1=j1,
-                        j2=j2,
-                        plan_diag=plan_d,
-                        rows_diag=rows_d,
-                        cols_diag=cols_d,
-                        plan_low=plan_l,
-                        rows_low=rows_l,
-                        cols_low=cols_l,
-                        plan_lowt=plan_t,
-                        rows_lowt=rows_t,
-                        cols_lowt=cols_t,
-                        inv_diag=inv_d,
-                        inv_low=inv_l,
-                        inv_lowt=inv_t,
-                        offs_diag=offs_d,
-                        offs_low=offs_l,
-                        offs_lowt=offs_t,
-                    )
+                    False, False,
                 )
 
     # ---- W slot spaces and correction pairs -------------------------------
@@ -382,19 +354,22 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
             fpos = _host_pos(ss, fi, j)
             off = slot_offset[(fi, j)]
             ok = mask & (epos < P) & (fpos < G)
-            starts = np.full(fam.batch, -1, dtype=np.int64)
-            for b in np.nonzero(ok)[0]:
-                starts[b] = start(T, int(fpos[b]))
             for b in np.nonzero(ok)[0]:
                 point_obs[int(epos[b])].append(
-                    (T, off + int(b), int(fpos[b]), int(starts[b]))
+                    (
+                        T,
+                        off + int(b),
+                        int(fpos[b]),
+                        start(T, int(fpos[b])),
+                    )
                 )
 
-    # Enumerate pairs into cells, grouped by (T1, T2, diagonal?).
+    # Enumerate pairs into flat per-(T1, T2, diagonal?) streams.
     # diag cells: same camera block -> all ordered pairs (incl. a == b).
     # lower cells: distinct blocks, oriented row-start > col-start.
-    cell_pairs: Dict[
-        Tuple[int, int, bool], Dict[Tuple[int, int], List[Tuple[int, int]]]
+    group_pairs: Dict[
+        Tuple[int, int, bool],
+        Tuple[List[int], List[int], List[Tuple[int, int]]],
     ] = {}
     for obs in point_obs:
         n = len(obs)
@@ -405,68 +380,42 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 same_block = Ta == Tb and pa == pb
                 if same_block:
                     key = (Ta, Tb, True)
-                    cell = (pa, pb)
-                    pair = (sa, sb)
                 elif ssa > ssb:
                     key = (Ta, Tb, False)
-                    cell = (pa, pb)
-                    pair = (sa, sb)
                 else:
                     continue  # upper triangle: mirrored by assembler
-                cell_pairs.setdefault(key, {}).setdefault(cell, []).append(
-                    pair
-                )
+                acc = group_pairs.setdefault(key, ([], [], []))
+                acc[0].append(sa)
+                acc[1].append(sb)
+                acc[2].append((pa, pb))
 
-    corr: List[CorrCells] = []
-    for (T1, T2, diag), cells in cell_pairs.items():
-        C = len(cells)
-        K = max(len(v) for v in cells.values())
-        N1 = slot_count.get(T1, 0)
-        N2 = slot_count.get(T2, 0)
-        a_idx = np.full((C, K), N1, dtype=np.int32)
-        b_idx = np.full((C, K), N2, dtype=np.int32)
-        rows = np.empty((C, T1), dtype=np.int32)
-        cols = np.empty((C, T2), dtype=np.int32)
-        ord_uniq: Dict[Tuple[int, int], int] = {}
-        for c, ((p1, p2), pairs) in enumerate(cells.items()):
-            for k, (sa, sb) in enumerate(pairs):
-                a_idx[c, k] = sa
-                b_idx[c, k] = sb
-            rows[c] = reduced_coords(T1, p1)
-            cols[c] = reduced_coords(T2, p2)
-            o1 = int(ordinal_of_pos[T1][p1])
-            o2 = int(ordinal_of_pos[T2][p2])
-            ord_uniq[(o1, o2)] = c
-        inv = offs = None
-        if grid_allowed and all(a >= 0 and b >= 0 for a, b in ord_uniq):
-            inv = _grid_inverse(
-                ord_uniq, num_active[T1], num_active[T2], T1, T2
-            )
-            if inv is not None:
-                offs = (size_row_off[T1], size_row_off[T2])
+    corr: List[PairGroup] = []
+    for (T1, T2, diag), (sa_l, sb_l, keys) in group_pairs.items():
+        ids, C, rows, cols, inv, offs = cell_maps(keys, T1, T2)
+        order = np.argsort(ids, kind="stable")
+        a_idx = np.asarray(sa_l, dtype=np.int32)[order]
+        b_idx = np.asarray(sb_l, dtype=np.int32)[order]
+        seg_sorted = ids[order]
         corr.append(
-            CorrCells(
+            PairGroup(
                 T1=T1,
                 T2=T2,
                 diagonal=diag,
+                num_cells=C,
                 a_idx=jnp.asarray(a_idx),
                 b_idx=jnp.asarray(b_idx),
+                plan=build_reduce_plan(seg_sorted, C),
                 rows=jnp.asarray(rows),
                 cols=jnp.asarray(cols),
-                inv_map=inv,
+                inv=inv,
                 offs=offs,
             )
         )
 
     grid_ok = (
         grid_allowed
-        and all(
-            (p.plan_diag is None or p.inv_diag is not None)
-            and (p.plan_low is None or p.inv_low is not None)
-            and (p.plan_lowt is None or p.inv_lowt is not None)
-            for p in ftf_parts
-        )
-        and all(cc.inv_map is not None for cc in corr)
+        and all(s.inv is not None for s in ftf_sites)
+        and all(g.inv is not None for g in corr)
     )
 
     return ExplicitSchurPlan(
@@ -474,7 +423,7 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
         slot_args=tuple(
             (T, tuple(args)) for T, args in sorted(slot_args.items())
         ),
-        ftf=tuple(ftf_parts),
+        ftf=tuple(ftf_sites),
         corr=tuple(corr),
         f_reduced=jnp.asarray(f_reduced),
         g_of_r=jnp.asarray(g_of_r) if grid_allowed else None,
@@ -486,75 +435,142 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
 @dataclasses.dataclass(frozen=True)
 class CellSite:
     """One placement site of the assembly: a batch of reduced cell
-    blocks (C, T1, T2) plus where they go. ``diagonal`` sites land on
-    block-diagonal cells (each block symmetric after accumulation);
-    non-diagonal sites land strictly below the diagonal and are mirrored
-    into the upper triangle by the consumer."""
+    blocks — FLAT (C, T1*T2) values — plus where they go. ``diagonal``
+    sites land on block-diagonal cells (each block symmetric after
+    accumulation); non-diagonal sites land strictly below the diagonal
+    and are mirrored into the upper triangle by the consumer."""
 
     diagonal: bool
+    T1: int
+    T2: int
     rows: jax.Array  # (C, T1) reduced row coordinates
     cols: jax.Array  # (C, T2) reduced col coordinates
     inv: Optional[jax.Array]  # grid inverse (scatter-free placement)
     offs: Optional[Tuple[int, int]]
 
 
+# Python-loop bound for the flat contraction helpers: beyond this the
+# graph-size tradeoff flips and the einsum fallback wins.
+_FLAT_LOOP_MAX = 16
+
+
+def _flat_outer(A: jax.Array, Bm: jax.Array, K: int, T1: int, T2: int):
+    """Flat batched outer-product contraction
+    ``out[p, i*T2+j] = sum_k A[p, k*T1+i] * B[p, k*T2+j]``
+    built from 2-D repeat/tile broadcasts ONLY.
+
+    The einsum('pki,pkj->pij') + reshape form is mathematically
+    identical, but XLA's fusion boundary can materialize the (P, T1, T2)
+    intermediate, whose trailing dims tile-pad to (8,128) — 57x memory
+    at BAL scale (the r4 562 ms/iter + OOM cliff). Every array here is
+    rank-2 with a T1*T2-lane minor, which packs.
+    """
+    out = None
+    for k in range(K):
+        a = jax.lax.slice_in_dim(A, k * T1, (k + 1) * T1, axis=1)
+        b = jax.lax.slice_in_dim(Bm, k * T2, (k + 1) * T2, axis=1)
+        term = jnp.repeat(a, T2, axis=1) * jnp.tile(b, (1, T1))
+        out = term if out is None else out + term
+    return out
+
+
+def _flat_pair_product(E: jax.Array, F: jax.Array) -> jax.Array:
+    """Flat ``w[b, e*T+t] = sum_r E[b,r,e] F[b,r,t]`` from (B, r, Te) x
+    (B, r, T) without materializing a (B, Te, T) tail (see _flat_outer)."""
+    B, r, Te = E.shape
+    T = F.shape[2]
+    if r > _FLAT_LOOP_MAX:
+        return jnp.einsum("bre,brt->bet", E, F).reshape(B, Te * T)
+    out = None
+    for rr in range(r):
+        term = jnp.repeat(E[:, rr, :], T, axis=1) * jnp.tile(
+            F[:, rr, :], (1, Te)
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def _flat_apply_minv(minv_flat: jax.Array, w_flat: jax.Array, Te: int,
+                     T: int) -> jax.Array:
+    """Flat ``y[b, e*T+t] = sum_f minv[b, e*Te+f] * w[b, f*T+t]``."""
+    out = None
+    for e in range(Te):
+        acc = None
+        for f in range(Te):
+            m = jax.lax.slice_in_dim(
+                minv_flat, e * Te + f, e * Te + f + 1, axis=1
+            )  # (B, 1)
+            wf = jax.lax.slice_in_dim(w_flat, f * T, (f + 1) * T, axis=1)
+            term = m * wf
+            acc = term if acc is None else acc + term
+        out = acc if out is None else jnp.concatenate([out, acc], axis=1)
+    return out
+
+
+def plan_sites(plan: ExplicitSchurPlan) -> List[CellSite]:
+    """The deterministic placement-site list matching
+    :func:`compute_cell_blocks` value order (host-side, no device work).
+    Consumers that scalarize the pattern (linear/sparse_schur.py) build
+    their symbolic assembly from this."""
+    sites: List[CellSite] = []
+    for s in plan.ftf:
+        sites.append(
+            CellSite(
+                s.diagonal, s.rows.shape[1], s.cols.shape[1],
+                s.rows, s.cols, s.inv, s.offs,
+            )
+        )
+    for g in plan.corr:
+        sites.append(
+            CellSite(g.diagonal, g.T1, g.T2, g.rows, g.cols, g.inv, g.offs)
+        )
+    return sites
+
+
 def compute_cell_blocks(op, plan: ExplicitSchurPlan):
     """Compute every reduced cell block of S (without damping) in one
     pass, WITHOUT placing them.
 
-    Returns (sites, blocks): a deterministic list of :class:`CellSite`
-    descriptors and the matching list of (C, T1, T2) value arrays. The
-    dense assembler scatters them into an (nf, nf) matrix; the
-    SPARSE_SCHUR exporter (linear/sparse_schur.py) ships them to the
-    host and assembles the block-sparse reduced system instead — the
-    analog split of SchurEliminator (produces cells) vs the
+    Returns (sites, blocks): :class:`CellSite` descriptors and matching
+    FLAT (C, T1*T2) value arrays. The dense assembler places them into
+    an (nf, nf) matrix; the SPARSE_SCHUR exporter
+    (linear/sparse_schur.py) ships them to the host and assembles the
+    block-sparse reduced system instead — the analog split of
+    SchurEliminator (produces cells) vs the
     BlockRandomAccess{Dense,Sparse}Matrix target it writes to
     (schur_complement_solver.h:113-183).
     """
     ctx, ss = op.ctx, op.ss
     dt = op.dtype
     Te = ss.e_tangent_size
-    sites: List[CellSite] = []
+    sites = plan_sites(plan)
     blocks_out: List[jax.Array] = []
 
-    # ---- F'F -------------------------------------------------------------
-    for part in plan.ftf:
-        F1 = ctx.jacs[part.fi][part.j1]
-        F2 = ctx.jacs[part.fi][part.j2]
-        X = jnp.einsum("bri,brj->bij", F1, F2)
-        if part.plan_diag is not None:
-            blocks = apply_reduce(part.plan_diag, X)
-            blocks = blocks[: part.rows_diag.shape[0]]
-            if part.j1 != part.j2:
-                # both (j1, j2) and (j2, j1) hit the same diagonal cell
-                blocks = blocks + jnp.swapaxes(blocks, 1, 2)
-            sites.append(
-                CellSite(True, part.rows_diag, part.cols_diag,
-                         part.inv_diag, part.offs_diag)
-            )
-            blocks_out.append(blocks)
-        if part.plan_low is not None:
-            blocks = apply_reduce(part.plan_low, X)
-            sites.append(
-                CellSite(False, part.rows_low, part.cols_low,
-                         part.inv_low, part.offs_low)
-            )
-            blocks_out.append(blocks[: part.rows_low.shape[0]])
-        if part.plan_lowt is not None:
-            blocks = apply_reduce(part.plan_lowt, X)
-            sites.append(
-                CellSite(False, part.rows_lowt, part.cols_lowt,
-                         part.inv_lowt, part.offs_lowt)
-            )
-            blocks_out.append(
-                jnp.swapaxes(blocks[: part.rows_lowt.shape[0]], 1, 2)
-            )
+    # ---- F'F: permuted instance products, sorted segment reduce -----------
+    for s in plan.ftf:
+        FA = ctx.jacs[s.fi][s.jA]
+        FB = ctx.jacs[s.fi][s.jB]
+        T1 = FA.shape[2]
+        T2 = FB.shape[2]
+        FAp = FA[s.perm]  # (Bp, r, T1) cell-sorted
+        FBp = FB[s.perm]
+        C = s.rows.shape[0]
+        # flat (Bp, T1*T2) product; never materialize a (.., T1, T2) tail
+        X = _flat_pair_product(FAp, FBp)
+        blocks = apply_reduce(s.plan, X)[:C]
+        if s.sym:
+            # both (j1, j2) and (j2, j1) hit this diagonal cell; C here
+            # is block-diagonal-sized, so the tiny reshape is fine.
+            b3 = blocks.reshape(C, T1, T2)
+            blocks = (b3 + jnp.swapaxes(b3, 1, 2)).reshape(C, T1 * T2)
+        blocks_out.append(blocks)
 
     # ---- correction W' M^{-1} W -------------------------------------------
-    # Minv (P, Te, Te) with a zero dummy row (constant-point instances).
-    Minv = op._ete_inv
+    # Minv kept FLAT (P+1, Te*Te) with a zero dummy row (constant-point
+    # instances); row gathers stay lane-packed.
+    Minv = op._ete_inv.reshape(-1, Te * Te)
     Minv = jnp.concatenate(
-        [Minv, jnp.zeros((1, Te, Te), dtype=dt)], axis=0
+        [Minv, jnp.zeros((1, Te * Te), dtype=dt)], axis=0
     )
 
     W: Dict[int, jax.Array] = {}
@@ -565,30 +581,20 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
             ea = ss.e_arg[fi]
             E = ctx.jacs[fi][ea]  # (B, r, Te)
             F = ctx.jacs[fi][j]  # (B, r, T)
-            w = jnp.einsum("bre,brt->bet", E, F)  # (B, Te, T)
-            m = Minv[ss.e_pos[fi]]  # (B, Te, Te)
+            w = _flat_pair_product(E, F)  # (B, Te*T) flat
+            m = Minv[ss.e_pos[fi]]  # (B, Te*Te) flat
             ws.append(w)
-            ys.append(jnp.einsum("bef,bft->bet", m, w))
-        pad = jnp.zeros((1, Te, T), dtype=dt)
+            ys.append(_flat_apply_minv(m, w, Te, T))
+        pad = jnp.zeros((1, Te * T), dtype=dt)
+        # FLAT (N+1, Te*T) slot slabs: row gathers stay lane-packed.
         W[T] = jnp.concatenate(ws + [pad], axis=0)
         Y[T] = jnp.concatenate(ys + [pad], axis=0)
 
-    for cc in plan.corr:
-        C, K = cc.a_idx.shape
-        # 1-D-index gathers + major-dim-only reshapes + one dot_general
-        # contracting (k, e) jointly. The equivalent 2-D-index gather
-        # with a (Te, T) tail + 4-D einsum costs ~3x the XLA compile
-        # time at BAL scale (benchmarks/compile_micro2.py: 27s vs 9.5s)
-        # for identical math: blocks[c,i,j] = -sum_{k,e} Wa Yb.
-        Wa = W[cc.T1][cc.a_idx.reshape(-1)].reshape(C, K * Te, cc.T1)
-        Yb = Y[cc.T2][cc.b_idx.reshape(-1)].reshape(C, K * Te, cc.T2)
-        blocks = -jax.lax.dot_general(
-            Wa, Yb, (((1,), (1,)), ((0,), (0,)))
-        )
-        sites.append(
-            CellSite(cc.diagonal, cc.rows, cc.cols, cc.inv_map, cc.offs)
-        )
-        blocks_out.append(blocks)
+    for g in plan.corr:
+        Wa = W[g.T1][g.a_idx]  # (Pp, Te*T1) flat
+        Yb = Y[g.T2][g.b_idx]
+        contrib = _flat_outer(Wa, Yb, Te, g.T1, g.T2)
+        blocks_out.append(-apply_reduce(g.plan, contrib)[: g.num_cells])
 
     return sites, blocks_out
 
@@ -599,11 +605,12 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
     ``op`` is a SchurOperator (provides jacobians, (E'E+De^2)^-1 factors
     and the damping vector). Returns S with damping included.
 
-    Placement: when ``plan.grid_ok``, per-cell blocks are GATHERED into a
-    dense (n1, n2) grid per size-group rectangle and placed with a
-    static-offset dynamic-update-slice — XLA scatters run near-serially
-    on TPU (element-at-a-time updates), while the grid gather + slice
-    write streams at memory bandwidth. Assembly then happens in the
+    Placement: when ``plan.grid_ok``, per-cell FLAT blocks are GATHERED
+    into a dense (n1, n2, T1*T2) grid per size-group rectangle, unpacked
+    to the (n1*T1, n2*T2) rectangle, and placed with a static-offset
+    dynamic-update-slice — XLA scatters run near-serially on TPU
+    (element-at-a-time updates), while the grid gather + slice write
+    streams at memory bandwidth. Assembly then happens in the
     size-grouped basis and is unpermuted once at the end (identity for
     single-f-size problems like BAL).
     """
@@ -615,34 +622,37 @@ def assemble_reduced_system(op, plan: ExplicitSchurPlan):
     S_d = jnp.zeros((nf, nf), dtype=dt)  # diagonal cells
     S_l = jnp.zeros((nf, nf), dtype=dt)  # strict lower cells
 
-    def scatter_legacy(S, rows, cols, blocks):
-        return S.at[rows[:, :, None], cols[:, None, :]].add(
-            blocks, mode="drop", unique_indices=True
-        )
+    def scatter_legacy(S, site, blocks):
+        C = blocks.shape[0]
+        b3 = blocks.reshape(C, site.T1, site.T2)
+        return S.at[
+            site.rows[:, :, None], site.cols[:, None, :]
+        ].add(b3, mode="drop", unique_indices=True)
 
-    def place_grid(S, inv, offs, blocks):
-        # blocks (C, T1, T2); inv (n1, n2) with dummy = C -> zero block.
-        C, T1, T2 = blocks.shape
+    def place_grid(S, site, blocks):
+        # blocks (C, T1*T2); inv (n1, n2) with dummy = C -> zero block.
+        C = blocks.shape[0]
+        T1, T2 = site.T1, site.T2
         bp = jnp.concatenate(
-            [blocks, jnp.zeros((1, T1, T2), blocks.dtype)], axis=0
+            [blocks, jnp.zeros((1, T1 * T2), blocks.dtype)], axis=0
         )
-        grid = bp[inv]  # (n1, n2, T1, T2)
-        rect = grid.transpose(0, 2, 1, 3).reshape(
-            inv.shape[0] * T1, inv.shape[1] * T2
+        grid = bp[site.inv]  # (n1, n2, T1*T2) — flat tail, lane-packed
+        rect = (
+            grid.reshape(site.inv.shape[0], site.inv.shape[1], T1, T2)
+            .transpose(0, 2, 1, 3)
+            .reshape(site.inv.shape[0] * T1, site.inv.shape[1] * T2)
         )
-        r0, c0 = offs
+        r0, c0 = site.offs
         cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
         return jax.lax.dynamic_update_slice(S, cur + rect, (r0, c0))
 
     sites, cell_blocks = compute_cell_blocks(op, plan)
     for site, blocks in zip(sites, cell_blocks):
         if grid_mode:
-            placed = place_grid(
-                S_d if site.diagonal else S_l, site.inv, site.offs, blocks
-            )
+            placed = place_grid(S_d if site.diagonal else S_l, site, blocks)
         else:
             placed = scatter_legacy(
-                S_d if site.diagonal else S_l, site.rows, site.cols, blocks
+                S_d if site.diagonal else S_l, site, blocks
             )
         if site.diagonal:
             S_d = placed

@@ -350,6 +350,18 @@ def factor_solve_csc(
         x = spla.spsolve(Hfull, np.asarray(rhs, dtype=np.float64))
     else:
         rc = chol.factorize(data)
+        if rc != 0 and mixed_precision:
+            # The f32 factor can fail on systems a double factor handles
+            # (condition past ~1/eps_f32: huge-radius LM steps on gauge-
+            # deficient problems). Degrade THIS solve to the exact
+            # double path instead of reporting failure — the reference's
+            # layered failure handling never lets mixed precision make a
+            # solvable system unsolvable (iterative_refiner.h contract).
+            return factor_solve_csc(
+                chol_cache, n, indptr, indices, data, rhs,
+                ordering=ordering, use_postordering=use_postordering,
+                mixed_precision=False,
+            )
         if rc != 0:
             return np.zeros(n), int(CG_FAILURE)
         if mixed_precision:

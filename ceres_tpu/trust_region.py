@@ -628,6 +628,19 @@ def _sparse_prep_impl(ctx, radius, config: _SolveConfig):
     return D, ctx.gradient()
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _sparse_prep_radius_free_impl(ctx, config: _SolveConfig):
+    """Radius-free device half of the pipelined sparse step: clipped LM
+    diagonal + rhs. The damping D = sqrt(diag/radius) is applied on the
+    HOST (numpy mirror of _lm_damping), so rejected steps re-damp the
+    cached transfer instead of re-running the device prep."""
+    diag = jnp.clip(
+        ctx.squared_column_norms(), config.min_lm_diagonal,
+        config.max_lm_diagonal,
+    )
+    return diag, ctx.gradient()
+
+
 @jax.jit
 def _sparse_finish_impl(ctx, y):
     """Device half 2: step + model cost change
@@ -679,19 +692,95 @@ def _make_sparse_lm_step_fn(config: _SolveConfig, program=None):
         else:
             plan, assembly = cached
 
-        def step_fn(ctx, radius):
-            D, rhs = _sparse_prep_impl(ctx, radius, config)
-            blocks = _normal_cells_impl(ctx, plan)
-            blocks_h, D_h, rhs_h = jax.device_get((blocks, D, rhs))
-            y, term = host_normal_factor_solve(
-                assembly, list(blocks_h), D_h, rhs_h,
+        # Pipelined host step (r5, VERDICT #8): the H cells, rhs and LM
+        # diagonal are all RADIUS-FREE for the normal equations, so a
+        # rejected step (same ctx, smaller radius) skips the device prep
+        # and the device->host transfer entirely — only the damping
+        # changes, recomputed on the host. A single-worker executor
+        # additionally pre-factors at the PREDICTED post-reject radius
+        # (levenberg_marquardt_strategy.cc radius/decrease_factor with
+        # the doubling schedule) while the device runs the finish +
+        # candidate work, hiding the host factor latency inside reject
+        # streaks. Speculation only arms inside a streak, so accepted
+        # steps never queue behind a wasted factorization.
+        import concurrent.futures as _cf
+
+        state: dict = {"ctx_ref": None}
+        executor = _cf.ThreadPoolExecutor(max_workers=1)
+
+        def _damping_np(diag_h, radius_f):
+            D = np.sqrt(diag_h / radius_f)
+            if diag_h.dtype == np.float32:
+                D = np.maximum(D, np.sqrt(diag_h) * np.float32(3.5e-4))
+            return D.astype(diag_h.dtype)
+
+        def _host_solve(D_h, cells_h, rhs_h):
+            return host_normal_factor_solve(
+                assembly, cells_h, D_h, rhs_h,
                 ordering=config.ordering_type,
                 use_postordering=config.use_postordering,
                 mixed_precision=config.use_mixed_precision_solves,
                 num_refinement_iterations=config.num_refinement_iterations,
             )
+
+        def step_fn(ctx, radius):
+            radius_f = float(radius)
+            in_streak = state.get("ctx_ref") is ctx
+            if not in_streak:
+                diag, rhs = _sparse_prep_radius_free_impl(ctx, config)
+                blocks = _normal_cells_impl(ctx, plan)
+                for leaf in jax.tree_util.tree_leaves((blocks, diag, rhs)):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()  # overlap D2H with compute
+                blocks_h, diag_h, rhs_h = jax.device_get(
+                    (blocks, diag, rhs)
+                )
+                sp = state.pop("spec", None)
+                if sp is not None:
+                    sp[1].cancel()
+                state.update(
+                    ctx_ref=ctx,
+                    cells=[np.asarray(b) for b in blocks_h],
+                    diag=np.asarray(diag_h),
+                    rhs=np.asarray(rhs_h),
+                    pred_factor=2.0,
+                    prev_radius=None,
+                )
+            else:
+                prev = state.get("prev_radius")
+                if prev and radius_f < prev:
+                    # learn the strategy's doubling decrease schedule
+                    state["pred_factor"] = (prev / radius_f) * 2.0
+            diag_h, cells_h, rhs_h = (
+                state["diag"], state["cells"], state["rhs"]
+            )
+            sp = state.pop("spec", None)
+            if (
+                sp is not None
+                and abs(sp[0] - radius_f) <= 1e-9 * max(radius_f, 1.0)
+            ):
+                y, term = sp[1].result()  # pre-factored during the reject
+            else:
+                if sp is not None:
+                    sp[1].cancel()
+                y, term = executor.submit(
+                    _host_solve, _damping_np(diag_h, radius_f), cells_h,
+                    rhs_h,
+                ).result()
+            if in_streak:
+                # arm the next speculative factor for the predicted
+                # post-reject radius; runs while the device finishes.
+                r_pred = radius_f / state.get("pred_factor", 2.0)
+                state["spec"] = (
+                    r_pred,
+                    executor.submit(
+                        _host_solve, _damping_np(diag_h, r_pred), cells_h,
+                        rhs_h,
+                    ),
+                )
+            state["prev_radius"] = radius_f
             step, mcc = _sparse_finish_impl(
-                ctx, jnp.asarray(y).astype(D.dtype)
+                ctx, jnp.asarray(y).astype(diag_h.dtype)
             )
             return (
                 step,
@@ -934,11 +1023,25 @@ class TrustRegionMinimizer:
                 ) = jax.device_get(scalar_pack)
                 step_scaled = True  # not None: validity checked below
             else:
-                ctx_used = (
-                    self._scale_columns(ctx, jacobi_scaling)
-                    if jacobi_scaling is not None
-                    else ctx
-                )
+                # Memoized column scaling: rejected iterations keep the
+                # SAME scaled-ctx object, so the pipelined sparse steps'
+                # identity-keyed transfer cache (VERDICT r5 #8) hits.
+                if jacobi_scaling is None:
+                    ctx_used = ctx
+                else:
+                    memo = getattr(self, "_scaled_ctx_memo", None)
+                    if (
+                        memo is None
+                        or memo[0] is not ctx
+                        or memo[1] is not jacobi_scaling
+                    ):
+                        memo = (
+                            ctx,
+                            jacobi_scaling,
+                            self._scale_columns(ctx, jacobi_scaling),
+                        )
+                        self._scaled_ctx_memo = memo
+                    ctx_used = memo[2]
                 if self.use_dogleg:
                     step_scaled, model_cost_change, lin_iters, lin_term = (
                         strategy.compute_step(ctx_used)
