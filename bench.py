@@ -324,7 +324,7 @@ def measure_large_stages(problem, opts, k=3):
                 ]
                 s = sum(
                     jnp.sum(leaf[..., :1].astype(jnp.float32))
-                    for leaf in leaves[:1]
+                    for leaf in leaves
                 )
                 return acc + eps * s
 
@@ -456,6 +456,10 @@ def run_large(seed=7):
     summary = fused_solve(opts, problem)
     solve_s = time.time() - t0
     iters = len(summary.iterations)
+
+    # LIVE per-stage itemization (VERDICT r4 #3) — measured this run.
+    stages = measure_large_stages(problem, opts)
+
     nf = 9 * LARGE_C
     fl = large_flops_model(
         LARGE_O, nf, iters, summary.num_linear_solver_iterations
@@ -479,28 +483,10 @@ def run_large(seed=7):
         "workload": f"BAL {LARGE_C}cam/{LARGE_P}pt/{LARGE_O}obs "
                     "fused LM + DENSE_SCHUR (explicit one-pass + MXU "
                     "Cholesky), f32",
-        # Residual roofline-gap itemization (VERDICT r4 #3), measured
-        # amortized on-device via CERES_PROFILE_DENSE=1
-        # benchmarks/stage_profile2.py 464 200000 1200000:
-        #   explicit S assembly  562 ms  (95% of the iteration)
-        #   colnorms + scaling    23 ms
-        #   back-substitution     14 ms
-        #   eval (r+J+grad)       11 ms
-        #   candidate cost        11 ms
-        #   cho_factor+solve       8 ms
-        # The assembly moves only ~2-5 GB/iter (corr-cell pair gathers
-        # audited at 1.6 GB incl. 1.1-2.0x ELL padding waste), so it
-        # runs at ~1% of HBM bandwidth: the cost is XLA's lowering of
-        # tiny-operand batched ops — (3,9)/(9,9)-tailed row gathers are
-        # tile-padded (8,128) (~14-37x expansion) and the 107k-batch
-        # (171x9)'(171x9) dot_generals pad their 9-wide minors to 128
-        # lanes. Closing it needs a fused Pallas pair-contraction
-        # kernel; itemized here per the roofline protocol.
-        "gap_itemization": {
-            "assembly_ms": 562, "colnorms_scale_ms": 23,
-            "back_substitute_ms": 14, "eval_ms": 11, "cost_ms": 11,
-            "cholesky_ms": 8,
-        },
+        # Residual roofline-gap itemization (VERDICT r4 #3): MEASURED
+        # each run on this chip by measure_large_stages (amortized
+        # fori_loop device timings of the fused-iteration stages).
+        "gap_itemization": stages,
     }
 
 

@@ -98,12 +98,39 @@ class PairGroup:
     cols: jax.Array  # (C, T2)
     inv: Optional[jax.Array] = None
     offs: Optional[Tuple[int, int]] = None
+    # Self-pair fast path (a_idx == b_idx elementwise, T1 == T2 — the
+    # block-diagonal cells of every single-observation problem): the
+    # outer products are computed in NATURAL slot order (no gather) and
+    # permuted to cell order with ONE wide (N, T1*T2) row gather instead
+    # of two narrow (N, Te*T) ones. Row gathers are issue-bound (~3
+    # cycles/row regardless of width), so halving the row count halves
+    # the gather time.
+    self_pairs: bool = False
+    # Uniform-window fast path (the analog of the reference's generated
+    # fixed-structure eliminator specializations,
+    # generate_template_specializations.py): when every point has
+    # exactly n consecutive slots (single slot space, no masking), the
+    # off-diagonal pairs are (p*n+i, p*n+j) — per unordered combo (i<j)
+    # the operands are SLICES of the slot slab, no gather at all. The
+    # orientation select ``combo_sel[k, p]`` picks (i,j) vs (j,i); the
+    # streams concatenate k-major and ``combo_perm`` sorts them by cell
+    # in ONE wide (K2*P, T*T) row gather.
+    combo_n: int = 0
+    combo_list: Tuple[Tuple[int, int], ...] = ()
+    combo_sel: Optional[jax.Array] = None  # (K2, P) bool
+    combo_perm: Optional[jax.Array] = None  # (K2*P,) int32
 
 
 jax.tree_util.register_dataclass(
     PairGroup,
-    data_fields=["a_idx", "b_idx", "plan", "rows", "cols", "inv"],
-    meta_fields=["T1", "T2", "diagonal", "num_cells", "offs"],
+    data_fields=[
+        "a_idx", "b_idx", "plan", "rows", "cols", "inv", "combo_sel",
+        "combo_perm",
+    ],
+    meta_fields=[
+        "T1", "T2", "diagonal", "num_cells", "offs", "self_pairs",
+        "combo_n", "combo_list",
+    ],
 )
 
 
@@ -364,9 +391,35 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                     )
                 )
 
+    # Uniform-window detection (single slot space, every point exactly n
+    # consecutive slots, no distinct-arg aliasing, no masking): the
+    # off-diagonal pairs specialize to gather-free slice combos.
+    uniform_n = 0
+    uniform_T = 0
+    if len(slot_args) == 1 and P > 0:
+        (uT,) = slot_args.keys()
+        counts = {len(o) for o in point_obs}
+        if len(counts) == 1:
+            n0 = counts.pop()
+            if n0 >= 1:
+                ok_u = True
+                for p, obs in enumerate(point_obs):
+                    for t, (Tt, st, _, _) in enumerate(obs):
+                        if Tt != uT or st != p * n0 + t:
+                            ok_u = False
+                            break
+                    if not ok_u:
+                        break
+                if ok_u and n0 * P == slot_count.get(uT, -1):
+                    uniform_n = n0
+                    uniform_T = uT
+
     # Enumerate pairs into flat per-(T1, T2, diagonal?) streams.
     # diag cells: same camera block -> all ordered pairs (incl. a == b).
     # lower cells: distinct blocks, oriented row-start > col-start.
+    # (Off-diagonal pairs are skipped here when the uniform-window
+    # specialization below covers them.)
+    skip_offdiag = uniform_n >= 2
     group_pairs: Dict[
         Tuple[int, int, bool],
         Tuple[List[int], List[int], List[Tuple[int, int]]],
@@ -381,6 +434,8 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 if same_block:
                     key = (Ta, Tb, True)
                 elif ssa > ssb:
+                    if skip_offdiag:
+                        continue
                     key = (Ta, Tb, False)
                 else:
                     continue  # upper triangle: mirrored by assembler
@@ -390,6 +445,99 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 acc[2].append((pa, pb))
 
     corr: List[PairGroup] = []
+
+    if skip_offdiag:
+        # Build the combo-stream group: K2 = n(n-1)/2 unordered slot
+        # combos, stream index = k*P + p, one cell-sorting permutation.
+        T = uniform_T
+        n0 = uniform_n
+        combos = [
+            (i, j) for i in range(n0) for j in range(i + 1, n0)
+        ]
+        K2 = len(combos)
+        sel = np.zeros((K2, P), dtype=bool)
+        keys_stream: List[Tuple[int, int]] = []
+        uniq: Dict[Tuple[int, int], int] = {}
+        ids_stream = np.empty(K2 * P, dtype=np.int64)
+        degenerate = 0
+        for k, (i, j) in enumerate(combos):
+            for p in range(P):
+                Ti, si, pi_, ssi = point_obs[p][i]
+                Tj, sj, pj_, ssj = point_obs[p][j]
+                if pi_ == pj_:
+                    # same f block twice in one point window: belongs
+                    # to the DIAGONAL cell; route both orientations
+                    # through the generic diag group instead (rare).
+                    degenerate += 1
+                    ids_stream[k * P + p] = -1
+                    continue
+                if ssi > ssj:
+                    sel[k, p] = True
+                    cell = (pi_, pj_)
+                else:
+                    cell = (pj_, pi_)
+                if cell not in uniq:
+                    uniq[cell] = len(uniq)
+                ids_stream[k * P + p] = uniq[cell]
+        if degenerate == 0:
+            C = len(uniq)
+            rows = np.empty((C, T), dtype=np.int32)
+            cols = np.empty((C, T), dtype=np.int32)
+            for (p1, p2), c in uniq.items():
+                rows[c] = reduced_coords(T, p1)
+                cols[c] = reduced_coords(T, p2)
+            inv = offs = None
+            if grid_allowed:
+                oa = ordinal_of_pos[T]
+                ord_uniq = {
+                    (int(oa[pa]), int(ob_)): c
+                    for (pa, pb), c in uniq.items()
+                    for ob_ in [int(oa[pb])]
+                }
+                if all(a >= 0 and b >= 0 for a, b in ord_uniq):
+                    inv = _grid_inverse(
+                        ord_uniq, num_active[T], num_active[T], T, T
+                    )
+                    if inv is not None:
+                        offs = (size_row_off[T], size_row_off[T])
+            order = np.argsort(ids_stream, kind="stable")
+            corr.append(
+                PairGroup(
+                    T1=T,
+                    T2=T,
+                    diagonal=False,
+                    num_cells=C,
+                    a_idx=jnp.zeros((0,), jnp.int32),
+                    b_idx=jnp.zeros((0,), jnp.int32),
+                    plan=build_reduce_plan(ids_stream[order], C),
+                    rows=jnp.asarray(rows),
+                    cols=jnp.asarray(cols),
+                    inv=inv,
+                    offs=offs,
+                    combo_n=n0,
+                    combo_list=tuple(combos),
+                    combo_sel=jnp.asarray(sel),
+                    combo_perm=jnp.asarray(order.astype(np.int32)),
+                )
+            )
+        else:
+            # degenerate windows: redo the generic enumeration for the
+            # off-diagonal pairs after all.
+            for p in range(P):
+                obs = point_obs[p]
+                n = len(obs)
+                for ai in range(n):
+                    Ta, sa, pa, ssa = obs[ai]
+                    for bi in range(n):
+                        Tb, sb, pb, ssb = obs[bi]
+                        if (Ta == Tb and pa == pb) or ssa <= ssb:
+                            continue
+                        acc = group_pairs.setdefault(
+                            (Ta, Tb, False), ([], [], [])
+                        )
+                        acc[0].append(sa)
+                        acc[1].append(sb)
+                        acc[2].append((pa, pb))
     for (T1, T2, diag), (sa_l, sb_l, keys) in group_pairs.items():
         ids, C, rows, cols, inv, offs = cell_maps(keys, T1, T2)
         order = np.argsort(ids, kind="stable")
@@ -409,6 +557,9 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                 cols=jnp.asarray(cols),
                 inv=inv,
                 offs=offs,
+                self_pairs=bool(
+                    T1 == T2 and np.array_equal(a_idx, b_idx)
+                ),
             )
         )
 
@@ -552,11 +703,12 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
         FB = ctx.jacs[s.fi][s.jB]
         T1 = FA.shape[2]
         T2 = FB.shape[2]
-        FAp = FA[s.perm]  # (Bp, r, T1) cell-sorted
-        FBp = FB[s.perm]
         C = s.rows.shape[0]
-        # flat (Bp, T1*T2) product; never materialize a (.., T1, T2) tail
-        X = _flat_pair_product(FAp, FBp)
+        # flat (B, T1*T2) product in NATURAL instance order, then ONE
+        # wide row gather into cell-sorted order (cheaper than
+        # gathering the two narrow Jacobian operands first: row gathers
+        # are issue-bound, so fewer+wider rows win).
+        X = _flat_pair_product(FA, FB)[s.perm]
         blocks = apply_reduce(s.plan, X)[:C]
         if s.sym:
             # both (j1, j2) and (j2, j1) hit this diagonal cell; C here
@@ -591,9 +743,41 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
         Y[T] = jnp.concatenate(ys + [pad], axis=0)
 
     for g in plan.corr:
-        Wa = W[g.T1][g.a_idx]  # (Pp, Te*T1) flat
-        Yb = Y[g.T2][g.b_idx]
-        contrib = _flat_outer(Wa, Yb, Te, g.T1, g.T2)
+        if g.combo_n:
+            # Uniform-window specialization: operands are SLICES of the
+            # slot slab (no gather); one wide cell-sorting permutation.
+            T = g.T1
+            d = Te * T
+            n0 = g.combo_n
+            P = W[T].shape[0] - 1  # minus pad row
+            Wf = W[T][:P].reshape(P // n0, n0 * d)
+            Yf = Y[T][:P].reshape(P // n0, n0 * d)
+
+            def win(Mf, t):
+                return jax.lax.slice_in_dim(
+                    Mf, t * d, (t + 1) * d, axis=1
+                )
+
+            streams = []
+            for k, (i, j) in enumerate(g.combo_list):
+                out_ij = _flat_outer(
+                    win(Wf, i), win(Yf, j), Te, T, T
+                )
+                out_ji = _flat_outer(
+                    win(Wf, j), win(Yf, i), Te, T, T
+                )
+                sel = g.combo_sel[k][:, None]
+                streams.append(jnp.where(sel, out_ij, out_ji))
+            contrib = jnp.concatenate(streams, axis=0)[g.combo_perm]
+        elif g.self_pairs:
+            # natural-order outer over the whole slot slab + one wide
+            # permutation gather (see PairGroup.self_pairs).
+            nat = _flat_outer(W[g.T1], Y[g.T1], Te, g.T1, g.T1)
+            contrib = nat[g.a_idx]
+        else:
+            Wa = W[g.T1][g.a_idx]  # (Pp, Te*T1) flat
+            Yb = Y[g.T2][g.b_idx]
+            contrib = _flat_outer(Wa, Yb, Te, g.T1, g.T2)
         blocks_out.append(-apply_reduce(g.plan, contrib)[: g.num_cells])
 
     return sites, blocks_out

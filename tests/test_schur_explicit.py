@@ -199,3 +199,35 @@ def test_explicit_scales_to_1024_cameras():
         rtol=1e-7,
         atol=1e-5,
     )
+
+
+def test_nonuniform_windows_use_generic_pairs():
+    """Points with unequal observation counts defeat the uniform-window
+    combo specialization; the generic flat-pair path must produce the
+    same S (checked against the probe)."""
+    # 1700 obs over 400 points: 100 points get 5 obs, 300 get 4.
+    op, ss, _ = _setup(num_cameras=8, num_points=400, num_obs=1700, seed=3)
+    assert all(g.combo_n == 0 for g in ss.explicit.corr), (
+        "expected the generic pair path for non-uniform windows"
+    )
+    S_e, rhs_e, _ = op.dense_reduced_system()
+    S_p, rhs_p, _ = op.dense_reduced_system_probe()
+    scale = float(jnp.max(jnp.abs(S_p)))
+    np.testing.assert_allclose(
+        np.asarray(S_e), np.asarray(S_p), atol=1e-9 * scale
+    )
+
+
+def test_uniform_windows_use_combo_path():
+    """The evenly-divisible synthetic instance activates the
+    uniform-window specialization and matches the probe."""
+    op, ss, _ = _setup(num_cameras=8, num_points=300, num_obs=1500, seed=7)
+    assert any(g.combo_n >= 2 for g in ss.explicit.corr), (
+        "expected the uniform-window combo path"
+    )
+    S_e, _, _ = op.dense_reduced_system()
+    S_p, _, _ = op.dense_reduced_system_probe()
+    scale = float(jnp.max(jnp.abs(S_p)))
+    np.testing.assert_allclose(
+        np.asarray(S_e), np.asarray(S_p), atol=1e-9 * scale
+    )
