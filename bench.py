@@ -316,14 +316,27 @@ def measure_large_stages(problem, opts, k=3):
         @jax.jit
         def run(eps, *a):
             def body(i, acc):
-                out = fn(*a)
+                # stage_profile2 protocol: perturb the float args by
+                # eps*carry so each rep depends on the previous one
+                # (otherwise XLA hoists the stage out of the loop and
+                # the reading is ~k x low).
+                aa = [
+                    x + (eps * acc).astype(x.dtype)
+                    if hasattr(x, "dtype")
+                    and jnp.issubdtype(x.dtype, jnp.floating)
+                    else x
+                    for x in a
+                ]
+                out = fn(*aa)
                 leaves = [
                     leaf
                     for leaf in jax.tree_util.tree_leaves(out)
                     if hasattr(leaf, "dtype")
                 ]
                 s = sum(
-                    jnp.sum(leaf[..., :1].astype(jnp.float32))
+                    jnp.sum(
+                        leaf[..., :1] if leaf.ndim else leaf
+                    ).astype(jnp.float32)
                     for leaf in leaves
                 )
                 return acc + eps * s

@@ -77,13 +77,26 @@ from ceres_tpu.linear.schur_explicit import (
 
 
 def timed(name, fn, *args, k=K):
+    """Amortized device timing, stage_profile2 protocol: every float arg
+    is perturbed by eps*carry (eps=0.0 at runtime) so rep i+1 DEPENDS on
+    rep i — without this, XLA's while-loop-invariant code motion hoists
+    the whole stage out of the loop and the measurement reads ~k x low
+    (the r5 harness bug)."""
     @jax.jit
     def run(eps, *a):
         def body(i, acc):
-            out = fn(*a)
+            aa = [
+                x + (eps * acc).astype(x.dtype)
+                if hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.floating)
+                else x
+                for x in a
+            ]
+            out = fn(*aa)
             leaves = [l for l in jax.tree_util.tree_leaves(out)
-                      if hasattr(l, "dtype")]
-            s = sum(jnp.sum(l[..., :1].astype(jnp.float32))
+                      if hasattr(l, "dtype")
+                      and jnp.issubdtype(l.dtype, jnp.floating)]
+            s = sum(jnp.sum(l[..., :1] if l.ndim else l).astype(jnp.float32)
                     for l in leaves)
             return acc + eps * s
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
@@ -276,3 +289,51 @@ if want("cellparts"):
         return outs
 
     timed("F'F flat (perm+prod+segsum)", ftf_only, D0)
+
+if want("iter"):
+    from ceres_tpu.trust_region import _tr_iteration_impl
+    from ceres_tpu.evaluator import _full_impl as _fi
+
+    scaling0 = 1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms()))
+    radius0 = jnp.asarray(1e4, jnp.float64)
+
+    def one_iter(x):
+        cand, cand_ctx, cand_grad, scalars = _tr_iteration_impl(
+            x, ctx, radius0, scaling0, program.plus_struct, solve_aux,
+            sc, True, True,
+        )
+        return cand, scalars
+
+    timed("FULL fused iteration", one_iter, x0)
+
+    # variant without the speculative candidate evaluation
+    import ceres_tpu.trust_region as _tr
+
+    def iter_no_spec(x):
+        ctx_used = ctx.scale_columns(scaling0)
+        diag2 = jnp.clip(ctx_used.squared_column_norms(),
+                         sc.min_lm_diagonal, sc.max_lm_diagonal)
+        D = _tr._lm_damping(diag2, radius0)
+        y, li, lt = _tr._linear_solve(ctx_used, D, solve_aux, sc)
+        step = -y.astype(diag2.dtype)
+        Js = ctx_used.matvec(step)
+        mcc = jnp.asarray(0.0, jnp.float64)
+        for fi2 in range(len(ctx_used.families)):
+            mcc = mcc - jnp.sum(Js[fi2].astype(jnp.float64) * (
+                ctx_used.residuals[fi2].astype(jnp.float64)
+                + Js[fi2].astype(jnp.float64) / 2.0))
+        from ceres_tpu.problem import plus_apply
+        cand = plus_apply(program.plus_struct, x, step * scaling0)
+        return cand, mcc
+
+    timed("iteration w/o spec eval", iter_no_spec, x0)
+
+    def linsolve_only(x):
+        ctx_used = ctx.scale_columns(scaling0)
+        diag2 = jnp.clip(ctx_used.squared_column_norms(),
+                         sc.min_lm_diagonal, sc.max_lm_diagonal)
+        D = _tr._lm_damping(diag2, radius0)
+        y, li, lt = _tr._linear_solve(ctx_used, D, solve_aux, sc)
+        return y
+
+    timed("scale+linear_solve only", linsolve_only, x0)
