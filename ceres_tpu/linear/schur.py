@@ -515,17 +515,22 @@ class SchurOperator:
         self.D = D
         Te, P = ss.e_tangent_size, ss.num_points
 
-        # Assemble E'E + D_e^2 per point: (P, Te, Te), batched Cholesky.
+        # Assemble E'E + D_e^2 per point, FLAT (P, Te*Te) until the tiny
+        # final reshape (a materialized (B, Te, Te) trailing pair
+        # tile-pads to (8,128) in XLA — the r5 layout rule).
+        from ceres_tpu.linear.schur_explicit import _flat_pair_product
+
         dt = ctx.residuals[0].dtype
         self.dtype = dt
-        ete = jnp.zeros((P, Te, Te), dtype=dt)
+        ete_f = jnp.zeros((P, Te * Te), dtype=dt)
         for fi, fam in enumerate(ctx.families):
             ea = ss.e_arg[fi]
             if ea < 0:
                 continue
             E = ctx.jacs[fi][ea]  # (B, r, Te)
-            contrib = jnp.einsum("bri,brj->bij", E, E)
-            ete = ete + self._reduce_e(fi, contrib)
+            contrib = _flat_pair_product(E, E)  # (B, Te*Te)
+            ete_f = ete_f + self._reduce_e(fi, contrib)
+        ete = ete_f.reshape(P, Te, Te)
         De = self._gather_e(D)  # (P, Te)
         ete = ete + jax.vmap(jnp.diag)(De * De)
         # Explicit SPD inverse of the point blocks (invert_psd_matrix.h:44,
@@ -710,6 +715,14 @@ class SchurOperator:
         )
         from ceres_tpu.ops.reduce import apply_reduce
 
+        from ceres_tpu.linear.schur_explicit import (
+            _flat_apply_minv,
+            _flat_outer,
+            _flat_pair_product,
+        )
+
+        Te = ss.e_tangent_size
+        inv_flat = inv_ete.reshape(inv_ete.shape[0], -1)
         for fi, fam in enumerate(ctx.families):
             ea = ss.e_arg[fi]
             for j in range(fam.num_args):
@@ -719,23 +732,24 @@ class SchurOperator:
                 if T not in out:
                     continue
                 F = ctx.jacs[fi][j]  # (B, r, T)
-                contrib = jnp.einsum("bri,brj->bij", F, F)
+                # FLAT (B, T*T) contributions end-to-end: a trailing
+                # (.., T, T) pair of dims tile-pads to (8,128)+ in XLA
+                # (the r5 layout rule, see schur_explicit.py).
+                contrib = _flat_pair_product(F, F)
                 if ea >= 0:
                     E = ctx.jacs[fi][ea]  # (B, r, Te)
-                    EtF = jnp.einsum("bre,brj->bej", E, F)  # (B, Te, T)
-                    Minv = inv_ete[ss.e_pos[fi]]  # (B, Te, Te)
-                    corr = jnp.einsum("bei,bef,bfj->bij", EtF, Minv, EtF)
-                    contrib = contrib - corr
+                    w = _flat_pair_product(E, F)  # (B, Te*T)
+                    m = inv_flat[ss.e_pos[fi]]  # (B, Te*Te)
+                    y = _flat_apply_minv(m, w, Te, T)
+                    contrib = contrib - _flat_outer(w, y, Te, T, T)
                 if ss.f_plan is not None and ss.f_plan[fi][j] is not None:
-                    out[T] = (
-                        out[T]
-                        + apply_reduce(ss.f_plan[fi][j], contrib)[
-                            : out[T].shape[0]
-                        ]
-                    )
+                    red = apply_reduce(ss.f_plan[fi][j], contrib)[
+                        : out[T].shape[0]
+                    ]
+                    out[T] = out[T] + red.reshape(-1, T, T)
                 else:
                     out[T] = out[T].at[ss.f_pos[fi][j]].add(
-                        contrib, mode="drop"
+                        contrib.reshape(-1, T, T), mode="drop"
                     )
         # Add D^2 on the f diagonal.
         for T, idx in ss.f_groups.items():
@@ -1120,9 +1134,17 @@ def solve_schur(
         options.preconditioner_type
         == PreconditionerType.SCHUR_POWER_SERIES_EXPANSION
     ):
+        # As a PRECONDITIONER the series runs a FIXED term count —
+        # spse_tolerance is deliberately ignored so M stays the same
+        # linear operator on every CG application
+        # (iterative_schur_complement_solver.cc:179-183: "Ignoring the
+        # value of spse_tolerance to ensure preconditioner stays the
+        # same for each iteration"); a data-dependent truncation makes
+        # M nonlinear and destabilizes CG's convergence floor. The
+        # tolerance-based truncation belongs to the SPSE
+        # INITIALIZATION below (use_spse_initialization, cc:101-111).
         M = op.power_series_preconditioner(
-            options.max_num_spse_iterations,
-            getattr(options, "spse_tolerance", 0.0),
+            options.max_num_spse_iterations, 0.0
         )
     elif options.preconditioner_type == PreconditionerType.JACOBI:
         M = op.schur_jacobi_preconditioner()  # block-Jacobi of S

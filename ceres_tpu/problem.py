@@ -87,24 +87,35 @@ class _ResidualBatchRec:
 class PlusStructure:
     """Index arrays for the batched plus operator, registered as a pytree
     so jitted code receives them as arguments (never HLO constants —
-    large embedded literals cripple TPU compile times)."""
+    large embedded literals cripple TPU compile times).
+
+    ``eu_identity`` (static): the Euclidean part is the full identity
+    map (every coordinate Euclidean-active, ambient == tangent order) —
+    the common all-Euclidean/no-constant case, where plus is a plain
+    vector add with no gather/scatter (TPU scatters cost ~ms at BA
+    scale even with unique indices)."""
 
     eu_amb: jax.Array  # (nE,) ambient coords of Euclidean blocks
     eu_tan: jax.Array  # (nE,) matching tangent coords
     groups: Tuple[Tuple[jax.Array, jax.Array], ...]  # per-manifold (amb, tan)
     manifolds: Tuple[Manifold, ...]  # static
+    eu_identity: bool = False  # static
 
 
 jax.tree_util.register_dataclass(
     PlusStructure,
     data_fields=["eu_amb", "eu_tan", "groups"],
-    meta_fields=["manifolds"],
+    meta_fields=["manifolds", "eu_identity"],
 )
 
 
 def plus_apply(ps: PlusStructure, x: jax.Array, delta: jax.Array) -> jax.Array:
     """x [+] delta over all active blocks (program.cc:114), pure."""
-    x_new = x.at[ps.eu_amb].add(delta[ps.eu_tan], mode="drop")
+    if ps.eu_identity and not ps.manifolds:
+        return x + delta.astype(x.dtype)
+    x_new = x.at[ps.eu_amb].add(
+        delta[ps.eu_tan], mode="drop", unique_indices=True
+    )
     for m, (amb, tan) in zip(ps.manifolds, ps.groups):
         xb = x[amb]  # (G, A)
         db = delta[tan]  # (G, T)
@@ -924,11 +935,21 @@ class Program:
             )
             groups.append((amb, tan))
             manifolds.append(m)
+        eu_amb_np = np.asarray(eu_amb, dtype=np.int64)
+        eu_tan_np = np.asarray(eu_tan, dtype=np.int64)
+        eu_identity = (
+            not manifolds
+            and eu_amb_np.shape[0] == self.num_ambient
+            and self.num_ambient == self.num_tangent
+            and np.array_equal(eu_amb_np, np.arange(self.num_ambient))
+            and np.array_equal(eu_tan_np, np.arange(self.num_tangent))
+        )
         self.plus_struct = PlusStructure(
             eu_amb=jnp.asarray(eu_amb, dtype=jnp.int32),
             eu_tan=jnp.asarray(eu_tan, dtype=jnp.int32),
             groups=tuple(groups),
             manifolds=tuple(manifolds),
+            eu_identity=bool(eu_identity),
         )
 
     def plus(self, x: jax.Array, delta: jax.Array) -> jax.Array:
