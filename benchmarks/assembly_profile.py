@@ -172,124 +172,6 @@ if want("chol"):
 
     timed("cho_factor+solve", chol, S0)
 
-if want("cellsplace"):
-    sites2 = plan_sites(plan)
-
-    def cells_place(D):
-        op = SchurOperator(ctx_s, D, ss)
-        _, blocks = compute_cell_blocks(op, plan)
-        nf = plan.nf
-        S_d = jnp.zeros((nf, nf), jnp.float32)
-        S_l = jnp.zeros((nf, nf), jnp.float32)
-        for site, b in zip(sites2, blocks):
-            T1, T2 = site.T1, site.T2
-            bp = jnp.concatenate([b, jnp.zeros((1, T1 * T2), b.dtype)], 0)
-            grid = bp[site.inv]
-            rect = (grid.reshape(site.inv.shape[0], site.inv.shape[1], T1, T2)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(site.inv.shape[0] * T1, site.inv.shape[1] * T2))
-            r0, c0 = site.offs
-            S = S_d if site.diagonal else S_l
-            cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
-            S = jax.lax.dynamic_update_slice(S, cur + rect, (r0, c0))
-            if site.diagonal:
-                S_d = S
-            else:
-                S_l = S
-        return S_d + S_l + S_l.T
-
-    timed("cells + placement composed", cells_place, D0)
-
-if want("mem"):
-    from ceres_tpu.linear.schur_explicit import assemble_reduced_system as _ars
-    c = jax.jit(lambda D: _ars(SchurOperator(ctx_s, D, ss), plan)).lower(D0).compile()
-    ma = c.memory_analysis()
-    print(f"full assembly memory: temp={ma.temp_size_in_bytes/1e9:.2f}GB "
-          f"out={ma.output_size_in_bytes/1e6:.1f}MB "
-          f"arg={ma.argument_size_in_bytes/1e9:.2f}GB", flush=True)
-
-if want("barrier"):
-    sites3 = plan_sites(plan)
-
-    def cells_place_bar(D):
-        op = SchurOperator(ctx_s, D, ss)
-        _, blocks = compute_cell_blocks(op, plan)
-        blocks = jax.lax.optimization_barrier(tuple(blocks))
-        nf = plan.nf
-        S_d = jnp.zeros((nf, nf), jnp.float32)
-        S_l = jnp.zeros((nf, nf), jnp.float32)
-        for site, b in zip(sites3, blocks):
-            T1, T2 = site.T1, site.T2
-            bp = jnp.concatenate([b, jnp.zeros((1, T1 * T2), b.dtype)], 0)
-            grid = bp[site.inv]
-            rect = (grid.reshape(site.inv.shape[0], site.inv.shape[1], T1, T2)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(site.inv.shape[0] * T1, site.inv.shape[1] * T2))
-            r0, c0 = site.offs
-            S = S_d if site.diagonal else S_l
-            cur = jax.lax.dynamic_slice(S, (r0, c0), rect.shape)
-            S = jax.lax.dynamic_update_slice(S, cur + rect, (r0, c0))
-            if site.diagonal:
-                S_d = S
-            else:
-                S_l = S
-        return S_d + S_l + S_l.T
-
-    timed("cells+place with barrier", cells_place_bar, D0)
-
-if want("cellparts"):
-    # itemize cells: W/Y slabs alone; ftf alone; corr alone
-    from ceres_tpu.linear.schur_explicit import (
-        _flat_apply_minv, _flat_outer, _flat_pair_product,
-    )
-    Te_ = ss.e_tangent_size
-
-    def wy_only(D):
-        op = SchurOperator(ctx_s, D, ss)
-        Minv = op._ete_inv.reshape(-1, Te_ * Te_)
-        Minv = jnp.concatenate([Minv, jnp.zeros((1, Te_ * Te_), op.dtype)], 0)
-        outs = []
-        for T, args in plan.slot_args:
-            for fi, j in args:
-                ea = ss.e_arg[fi]
-                E = ctx_s.jacs[fi][ea]
-                F = ctx_s.jacs[fi][j]
-                w = _flat_pair_product(E, F)
-                m = Minv[ss.e_pos[fi]]
-                outs.append((w, _flat_apply_minv(m, w, Te_, T)))
-        return outs
-
-    timed("W/Y slabs (flat)", wy_only, D0)
-
-    WYv = jax.jit(lambda D: wy_only(D))(D0)
-    jax.block_until_ready(WYv)
-    W0 = jnp.concatenate([WYv[0][0], jnp.zeros((1, WYv[0][0].shape[1]), WYv[0][0].dtype)], 0)
-    Y0 = jnp.concatenate([WYv[0][1], jnp.zeros((1, WYv[0][1].shape[1]), WYv[0][1].dtype)], 0)
-
-    from ceres_tpu.ops.reduce import apply_reduce
-
-    def corr_only(W, Y):
-        outs = []
-        for g in plan.corr:
-            Wa = W[g.a_idx]
-            Yb = Y[g.b_idx]
-            contrib = _flat_outer(Wa, Yb, Te_, g.T1, g.T2)
-            outs.append(-apply_reduce(g.plan, contrib)[: g.num_cells])
-        return outs
-
-    timed("corr flat (gather+outer+segsum)", corr_only, W0, Y0)
-
-    def ftf_only(D):
-        outs = []
-        for s_ in plan.ftf:
-            FA = ctx_s.jacs[s_.fi][s_.jA][s_.perm]
-            FB = ctx_s.jacs[s_.fi][s_.jB][s_.perm]
-            X = _flat_pair_product(FA, FB)
-            outs.append(apply_reduce(s_.plan, X)[: s_.rows.shape[0]])
-        return outs
-
-    timed("F'F flat (perm+prod+segsum)", ftf_only, D0)
-
 if want("iter"):
     from ceres_tpu.trust_region import _tr_iteration_impl
     from ceres_tpu.evaluator import _full_impl as _fi

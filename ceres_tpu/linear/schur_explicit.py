@@ -760,12 +760,13 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
 
             streams = []
             for k, (i, j) in enumerate(g.combo_list):
-                out_ij = _flat_outer(
-                    win(Wf, i), win(Yf, j), Te, T, T
-                )
-                out_ji = _flat_outer(
-                    win(Wf, j), win(Yf, i), Te, T, T
-                )
+                # sel -> W_i' Y_j at cell (p_i, p_j); ~sel -> W_j' Y_i at
+                # cell (p_j, p_i). Selecting between the two OUTERS beats
+                # selecting the operands (measured 142 vs 154 ms at BAL
+                # scale: XLA fuses the post-select, while pre-selected
+                # operands break the slice->outer fusion).
+                out_ij = _flat_outer(win(Wf, i), win(Yf, j), Te, T, T)
+                out_ji = _flat_outer(win(Wf, j), win(Yf, i), Te, T, T)
                 sel = g.combo_sel[k][:, None]
                 streams.append(jnp.where(sel, out_ij, out_ji))
             contrib = jnp.concatenate(streams, axis=0)[g.combo_perm]
