@@ -177,6 +177,10 @@ def run_ceres_tpu(prob):
     # fused path's solve_s also excludes (reported there as setup_s).
     host_loop_minimize_s = summary2.minimizer_time_in_seconds
 
+    # LIVE per-stage itemization for the flagship config too
+    # (VERDICT r4 #2): measured on this chip each run.
+    stages = measure_large_stages(problem, opts)
+
     iters = len(summary.iterations)
     lin_iters = summary.num_linear_solver_iterations
     fl = flops_model(NUM_OBS, iters, lin_iters)
@@ -200,6 +204,7 @@ def run_ceres_tpu(prob):
         "mfu_pct": round(100 * mfu, 4),
         "hbm_util_pct": round(100 * hbm, 4),
         "termination": str(summary.termination_type),
+        "gap_itemization": stages,
     }
 
 
@@ -355,6 +360,7 @@ def measure_large_stages(problem, opts, k=3):
         from ceres_tpu.linear.schur_explicit import (
             assemble_reduced_system,
         )
+        from ceres_tpu.types import LinearSolverType
 
         out["eval_ms"] = round(timed(
             lambda x: _full_impl(
@@ -398,6 +404,45 @@ def measure_large_stages(problem, opts, k=3):
                 lambda v: SchurOperator(ctx_s, D0, ss).back_substitute(v),
                 rhs,
             ), 2)
+        if (
+            ss is not None
+            and resolved.linear_solver_type
+            == LinearSolverType.ITERATIVE_SCHUR
+        ):
+            from ceres_tpu.trust_region import _linear_solve
+
+            out["linear_solve_ms"] = round(timed(
+                lambda D: _linear_solve(ctx_s, D, solve_aux, sc)[0], D0
+            ), 2)
+            tan0 = jnp.zeros((program.num_tangent,), jnp.float32) + 1e-3
+            out["sx_ms"] = round(timed(
+                lambda v: SchurOperator(ctx_s, D0, ss).s_times(v), tan0
+            ), 2)
+            def _precond(D):
+                return list(
+                    SchurOperator(ctx_s, D, ss)
+                    .schur_jacobi_blocks()
+                    .values()
+                )
+
+            out["precond_build_ms"] = round(timed(_precond, D0), 2)
+            rhs_i = jax.jit(
+                lambda D: SchurOperator(ctx_s, D, ss).rhs()
+            )(D0)
+            jax.block_until_ready(rhs_i)
+            out["back_substitute_ms"] = round(timed(
+                lambda v: SchurOperator(ctx_s, D0, ss).back_substitute(v),
+                rhs_i,
+            ), 2)
+        from ceres_tpu.problem import plus_apply
+
+        out["plus_ms"] = round(timed(
+            lambda x: plus_apply(
+                program.plus_struct, x,
+                jnp.zeros((program.num_tangent,), x.dtype),
+            ),
+            x0,
+        ), 2)
     except Exception as e:  # keep the bench alive regardless
         out["error"] = f"{type(e).__name__}: {e}"
     return out
