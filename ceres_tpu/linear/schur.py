@@ -41,6 +41,17 @@ from ceres_tpu.types import LinearSolverType, PreconditionerType
 # ---------------------------------------------------------------------------
 
 
+# Auto-explicit-S bar: with few f coordinates (small camera count), CG's
+# per-trip implicit S·x (4 family-wide Jacobian sweeps,
+# implicit_schur_complement.cc:106-145) costs far more than ONE explicit
+# assembly per linear solve + dense (nf, nf) matvecs on the MXU. The
+# reference leaves this to the user (use_explicit_schur_complement,
+# solver.h:540-556 "can result in a significant performance boost when
+# the number of cameras is small"); on TPU the crossover is sharp enough
+# to make it the default policy below this reduced-system size.
+EXPLICIT_S_AUTO_MAX_NF = 2048
+
+
 def compute_schur_ordering(program) -> List[int]:
     """Greedy maximal independent set of parameter blocks -> e-block pids.
 
@@ -762,6 +773,32 @@ class SchurOperator:
 
         blocks = self.schur_jacobi_blocks()
         inverses = {T: spd_inverse(b) for T, b in blocks.items()}
+        return self._block_diag_apply(inverses)
+
+    def schur_jacobi_preconditioner_from_dense(self, S: jax.Array):
+        """SCHUR_JACOBI built by EXTRACTING the f block diagonal from an
+        already-materialized dense S (damping included) instead of
+        re-running the implicit block pass — the blocks ARE S's diagonal
+        cells (schur_jacobi_preconditioner.h:78 semantics). Used on the
+        explicit-S iterative path, where S is in hand anyway."""
+        from ceres_tpu.ops.small_linalg import spd_inverse
+
+        ss = self.ss
+        fr = ss.explicit.f_reduced  # tangent coord -> reduced (nf = none)
+        nf = S.shape[0]
+        inverses = {}
+        for T, idx in ss.f_groups.items():
+            r = fr[idx]  # (G, T) reduced coords
+            valid = jnp.all(r < nf, axis=1)
+            rc = jnp.where(r < nf, r, 0)
+            blocks = S[rc[:, :, None], rc[:, None, :]]
+            eye = jnp.eye(T, dtype=S.dtype)
+            # constant/inactive blocks: identity (masked out at apply)
+            blocks = jnp.where(valid[:, None, None], blocks, eye)
+            inverses[T] = spd_inverse(blocks)
+        return self._block_diag_apply(inverses)
+
+    def _block_diag_apply(self, inverses: Dict[int, jax.Array]):
         ss = self.ss
 
         def apply(v: jax.Array) -> jax.Array:
@@ -1078,10 +1115,19 @@ def solve_schur(
         if ss is None:
             ss = build_schur_structure(program)
             program._schur_structure = ss
-        if options.linear_solver_type in (
-            LinearSolverType.DENSE_SCHUR,
-            LinearSolverType.SPARSE_SCHUR,
-        ) or getattr(options, "use_explicit_schur_complement", False):
+        if (
+            options.linear_solver_type
+            in (
+                LinearSolverType.DENSE_SCHUR,
+                LinearSolverType.SPARSE_SCHUR,
+            )
+            or getattr(options, "use_explicit_schur_complement", False)
+            or (
+                options.linear_solver_type
+                == LinearSolverType.ITERATIVE_SCHUR
+                and int(ss.f_idx.shape[0]) <= EXPLICIT_S_AUTO_MAX_NF
+            )
+        ):
             ensure_explicit_plan(program, ss)
 
     op = SchurOperator(ctx, D, ss)
@@ -1108,8 +1154,33 @@ def solve_schur(
         return y, jnp.asarray(1, jnp.int32), direct_termination(y)
 
     # ITERATIVE_SCHUR
+    # Explicit-S policy: user flag, or automatic when the reduced camera
+    # system is small (see EXPLICIT_S_AUTO_MAX_NF). S is materialized
+    # ONCE per linear solve and reused for both the CG operator and the
+    # SCHUR_JACOBI block extraction.
+    use_explicit_s = getattr(
+        options, "use_explicit_schur_complement", False
+    ) or (
+        ss.explicit is not None
+        and int(ss.f_idx.shape[0]) <= EXPLICIT_S_AUTO_MAX_NF
+    )
+    S_dense = None
+    f_idx_d = None
+    if use_explicit_s:
+        S_dense, _, f_idx_d = op.dense_reduced_system()
+        # S is mathematically symmetric; the assembled f32 matrix is not
+        # exactly so (~1e-6 relative from independent lower/upper
+        # accumulation orders). CG requires a symmetric operator — with
+        # the raw matrix, near-converged solves produce steps with
+        # model_cost_change <= 0 (invalid-step FAILURE observed on the
+        # 16-cam flagship). Symmetrize once; O(nf^2), negligible here.
+        S_dense = 0.5 * (S_dense + S_dense.T)
+
     if options.preconditioner_type == PreconditionerType.SCHUR_JACOBI:
-        M = op.schur_jacobi_preconditioner()
+        if S_dense is not None and ss.explicit is not None:
+            M = op.schur_jacobi_preconditioner_from_dense(S_dense)
+        else:
+            M = op.schur_jacobi_preconditioner()
     elif options.preconditioner_type == PreconditionerType.CLUSTER_JACOBI:
         if ss.cluster_groups is not None:
             M = op.clustered_preconditioner(ss.cluster_groups)
@@ -1147,7 +1218,11 @@ def solve_schur(
             options.max_num_spse_iterations, 0.0
         )
     elif options.preconditioner_type == PreconditionerType.JACOBI:
-        M = op.schur_jacobi_preconditioner()  # block-Jacobi of S
+        # block-Jacobi of S
+        if S_dense is not None and ss.explicit is not None:
+            M = op.schur_jacobi_preconditioner_from_dense(S_dense)
+        else:
+            M = op.schur_jacobi_preconditioner()
     else:
         M = None
 
@@ -1171,8 +1246,7 @@ def solve_schur(
     # materialize S once and run CG against the dense matrix — wins when
     # cameras are few and S·x would otherwise repeat the elimination.
     s_apply = op.s_times
-    if getattr(options, "use_explicit_schur_complement", False):
-        S_dense, _, f_idx_d = op.dense_reduced_system()
+    if S_dense is not None:
         nt = ctx.num_tangent
 
         def s_apply(v):

@@ -285,6 +285,25 @@ def _build_solve_aux(options, program: Program):
             from ceres_tpu.linear.schur import ensure_explicit_plan
 
             ensure_explicit_plan(program, schur_structure)
+        # Auto-explicit-S for small reduced systems (linear/schur.py
+        # EXPLICIT_S_AUTO_MAX_NF): attach the assembly plan so the
+        # iterative path can materialize S instead of running implicit
+        # S·x sweeps per CG trip.
+        if (
+            options.linear_solver_type == LinearSolverType.ITERATIVE_SCHUR
+            and schur_structure is not None
+            and schur_structure.explicit is None
+        ):
+            from ceres_tpu.linear.schur import (
+                EXPLICIT_S_AUTO_MAX_NF,
+                ensure_explicit_plan,
+            )
+
+            if (
+                int(schur_structure.f_idx.shape[0])
+                <= EXPLICIT_S_AUTO_MAX_NF
+            ):
+                ensure_explicit_plan(program, schur_structure)
     subset_masks = None
     if (
         options.preconditioner_type == PreconditionerType.SUBSET
