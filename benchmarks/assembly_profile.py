@@ -56,10 +56,13 @@ print(f"plan: nf={plan.nf} grid_ok={plan.grid_ok} "
       f"ftf_sites={len(plan.ftf)} corr_groups={len(plan.corr)}")
 for s_ in plan.ftf:
     print(f"  ftf fi={s_.fi} ({s_.jA},{s_.jB}) diag={s_.diagonal} "
-          f"C={s_.rows.shape[0]} B={s_.perm.shape[0]} kind={s_.plan.kind}")
+          f"C={s_.rows.shape[0]} "
+          f"perm={'none' if s_.perm is None else s_.perm.shape[0]} "
+          f"kind={s_.plan.kind}")
 for g_ in plan.corr:
     print(f"  corr T=({g_.T1},{g_.T2}) diag={g_.diagonal} C={g_.num_cells} "
-          f"pairs={g_.a_idx.shape[0]} kind={g_.plan.kind}")
+          f"pairs={g_.a_idx.shape[0]} natural={g_.natural} "
+          f"kind={g_.plan.kind}")
 
 full_jit = jax.jit(lambda x: _full_impl(x, fams, True, program.num_tangent, groups))
 cost, grad, ctx = full_jit(x0)

@@ -147,10 +147,7 @@ if g is not None:
 
         streams = []
         for k2, (i, j) in enumerate(g.combo_list):
-            out_ij = _flat_outer(win(Wf, i), win(Yf, j), Te, T, T)
-            out_ji = _flat_outer(win(Wf, j), win(Yf, i), Te, T, T)
-            sel = g.combo_sel[k2][:, None]
-            streams.append(jnp.where(sel, out_ij, out_ji))
+            streams.append(_flat_outer(win(Wf, i), win(Yf, j), Te, T, T))
         return jnp.concatenate(streams, axis=0)
 
     timed("combo streams (no gather)", combo_streams, W0[T], Y0[T])

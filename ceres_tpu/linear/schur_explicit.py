@@ -36,6 +36,7 @@ kernel with unique-index placement only.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -61,7 +62,12 @@ class FtFSite:
     jB: int
     diagonal: bool
     sym: bool
-    perm: jax.Array  # (Bp,) int32 instance rows, cell-sorted (pad = 0)
+    # ``perm`` is None when the reduce plan consumes the contributions
+    # in NATURAL instance order (gather-free: the plan kind does not
+    # require sortedness — onehot/onehot_tiled/ell). The cell-sorting
+    # row gather at BAL scale costs more than the reduction itself, so
+    # the builder prefers a natural-order plan whenever one exists.
+    perm: Optional[jax.Array]  # (Bp,) int32 cell-sorted rows, or None
     plan: ReducePlan
     rows: jax.Array  # (C, T1) reduced row coords
     cols: jax.Array  # (C, T2)
@@ -111,14 +117,23 @@ class PairGroup:
     # generate_template_specializations.py): when every point has
     # exactly n consecutive slots (single slot space, no masking), the
     # off-diagonal pairs are (p*n+i, p*n+j) — per unordered combo (i<j)
-    # the operands are SLICES of the slot slab, no gather at all. The
-    # orientation select ``combo_sel[k, p]`` picks (i,j) vs (j,i); the
-    # streams concatenate k-major and ``combo_perm`` sorts them by cell
-    # in ONE wide (K2*P, T*T) row gather.
+    # the operands are SLICES of the slot slab, no gather at all. ONE
+    # orientation (W_i' Y_j) is computed per combo; rows whose cell is
+    # oriented the other way reduce into a SECOND copy of the cell table
+    # (ids offset by num_cells) and are transposed per CELL afterwards —
+    # valid because M^-1 is symmetric, so W_j' Y_i = (W_i' Y_j)', and
+    # 27x cheaper than selecting between two per-ROW orientations
+    # (measured: the double-orientation streams were the single largest
+    # assembly stage). ``combo_perm`` sorts the k-major streams by
+    # (oriented) cell id in ONE wide (K2*P, T*T) row gather.
     combo_n: int = 0
     combo_list: Tuple[Tuple[int, int], ...] = ()
-    combo_sel: Optional[jax.Array] = None  # (K2, P) bool
+    combo_sel: Optional[jax.Array] = None  # unused (kept for pytree shape)
     combo_perm: Optional[jax.Array] = None  # (K2*P,) int32
+    mirror: bool = False  # reduce plan has 2*num_cells groups
+    # Self-pair fast path only: the plan consumes the NATURAL slot-order
+    # outer products directly (gather-free; see FtFSite.perm).
+    natural: bool = False
 
 
 jax.tree_util.register_dataclass(
@@ -129,7 +144,7 @@ jax.tree_util.register_dataclass(
     ],
     meta_fields=[
         "T1", "T2", "diagonal", "num_cells", "offs", "self_pairs",
-        "combo_n", "combo_list",
+        "combo_n", "combo_list", "mirror", "natural",
     ],
 )
 
@@ -307,9 +322,23 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                         return
                     keys = [key_fn(b) for b in sel]
                     ids, C, rows, cols, inv, offs = cell_maps(keys, Ta, Tb)
-                    order = np.argsort(ids, kind="stable")
-                    perm = sel[order].astype(np.int32)
-                    seg_sorted = ids[order]
+                    # Gather-free preference: when this kind covers every
+                    # instance, try a NATURAL-order plan first — any kind
+                    # that does not require sortedness skips the
+                    # cell-sorting row gather (the gather costs more than
+                    # the reduction at BAL scale).
+                    perm = None
+                    plan = None
+                    if sel.size == B:
+                        # (build_reduce_plan only picks the sorted kinds
+                        # when the ids really are sorted.)
+                        plan0 = build_reduce_plan(ids, C)
+                        if plan0.kind != "scatter":
+                            plan = plan0
+                    if plan is None:
+                        order = np.argsort(ids, kind="stable")
+                        perm = jnp.asarray(sel[order].astype(np.int32))
+                        plan = build_reduce_plan(ids[order], C)
                     ftf_sites.append(
                         FtFSite(
                             fi=fi,
@@ -317,8 +346,8 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                             jB=jB,
                             diagonal=diagonal,
                             sym=sym,
-                            perm=jnp.asarray(perm),
-                            plan=build_reduce_plan(seg_sorted, C),
+                            perm=perm,
+                            plan=plan,
                             rows=jnp.asarray(rows),
                             cols=jnp.asarray(cols),
                             inv=inv,
@@ -455,10 +484,14 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
             (i, j) for i in range(n0) for j in range(i + 1, n0)
         ]
         K2 = len(combos)
-        sel = np.zeros((K2, P), dtype=bool)
-        keys_stream: List[Tuple[int, int]] = []
+        # One orientation per combo: the stream always computes
+        # W_i' Y_j. Direct rows (row-camera start > col-camera start at
+        # (p_i, p_j)) reduce into cell c; mirrored rows reduce into
+        # c + C and the assembler transposes those cells once (valid
+        # since M^-1 is symmetric: W_j' Y_i = (W_i' Y_j)').
         uniq: Dict[Tuple[int, int], int] = {}
         ids_stream = np.empty(K2 * P, dtype=np.int64)
+        mirrored = np.zeros(K2 * P, dtype=bool)
         degenerate = 0
         for k, (i, j) in enumerate(combos):
             for p in range(P):
@@ -472,15 +505,16 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                     ids_stream[k * P + p] = -1
                     continue
                 if ssi > ssj:
-                    sel[k, p] = True
                     cell = (pi_, pj_)
                 else:
                     cell = (pj_, pi_)
+                    mirrored[k * P + p] = True
                 if cell not in uniq:
                     uniq[cell] = len(uniq)
                 ids_stream[k * P + p] = uniq[cell]
         if degenerate == 0:
             C = len(uniq)
+            ids_stream[mirrored] += C
             rows = np.empty((C, T), dtype=np.int32)
             cols = np.empty((C, T), dtype=np.int32)
             for (p1, p2), c in uniq.items():
@@ -509,15 +543,15 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                     num_cells=C,
                     a_idx=jnp.zeros((0,), jnp.int32),
                     b_idx=jnp.zeros((0,), jnp.int32),
-                    plan=build_reduce_plan(ids_stream[order], C),
+                    plan=build_reduce_plan(ids_stream[order], 2 * C),
                     rows=jnp.asarray(rows),
                     cols=jnp.asarray(cols),
                     inv=inv,
                     offs=offs,
                     combo_n=n0,
                     combo_list=tuple(combos),
-                    combo_sel=jnp.asarray(sel),
                     combo_perm=jnp.asarray(order.astype(np.int32)),
+                    mirror=True,
                 )
             )
         else:
@@ -540,6 +574,40 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
                         acc[2].append((pa, pb))
     for (T1, T2, diag), (sa_l, sb_l, keys) in group_pairs.items():
         ids, C, rows, cols, inv, offs = cell_maps(keys, T1, T2)
+        sa = np.asarray(sa_l, dtype=np.int64)
+        sb = np.asarray(sb_l, dtype=np.int64)
+        # Gather-free self-pair mode: every slot appears exactly once as
+        # its own pair partner -> reduce the NATURAL slot-order outer
+        # products with per-slot cell ids (plus the dummy pad row), no
+        # a_idx gather (see FtFSite.perm).
+        if (
+            T1 == T2
+            and np.array_equal(sa, sb)
+            and sa.shape[0] == slot_count.get(T1, -1)
+            and np.array_equal(np.sort(sa), np.arange(sa.shape[0]))
+        ):
+            seg_nat = np.full(sa.shape[0] + 1, C, dtype=np.int64)
+            seg_nat[sa] = ids
+            plan0 = build_reduce_plan(seg_nat, C)
+            if plan0.kind != "scatter":
+                corr.append(
+                    PairGroup(
+                        T1=T1,
+                        T2=T2,
+                        diagonal=diag,
+                        num_cells=C,
+                        a_idx=jnp.zeros((0,), jnp.int32),
+                        b_idx=jnp.zeros((0,), jnp.int32),
+                        plan=plan0,
+                        rows=jnp.asarray(rows),
+                        cols=jnp.asarray(cols),
+                        inv=inv,
+                        offs=offs,
+                        self_pairs=True,
+                        natural=True,
+                    )
+                )
+                continue
         order = np.argsort(ids, kind="stable")
         a_idx = np.asarray(sa_l, dtype=np.int32)[order]
         b_idx = np.asarray(sb_l, dtype=np.int32)[order]
@@ -604,11 +672,106 @@ class CellSite:
 # graph-size tradeoff flips and the einsum fallback wins.
 _FLAT_LOOP_MAX = 16
 
+# Monomial count cap for the MXU bilinear path: beyond this the constant
+# selection matrices outgrow their usefulness and the loop/einsum forms
+# win.
+_MXU_MONOMIAL_MAX = 4096
+
+
+def _use_mxu_bilinear() -> bool:
+    """MXU lowering for the flat bilinear contractions.
+
+    The repeat/tile lane broadcasts below are semantically free but on
+    TPU each is a cross-lane relayout; profiled at BAL scale the
+    assembly's combo/W/Y stages ran at ~5% of HBM bandwidth, entirely
+    relayout-bound (benchmarks/assembly_profile2.py). Expressing the
+    same contraction as ((X@A)*(Y@B))@S with tiny 0/1 selection
+    constants keeps every array 2-D/lane-packed and runs on the MXU
+    instead. On CPU the extra flops are pure loss, so the loop form
+    stays. Override with CERES_BILINEAR=mxu|loop (for equivalence
+    tests)."""
+    import os
+
+    env = os.environ.get("CERES_BILINEAR", "")
+    if env == "mxu":
+        return True
+    if env == "loop":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_consts(K: int, T1: int, T2: int):
+    """0/1 selection constants for _flat_outer: monomial c=(k,i,j)."""
+    m = K * T1 * T2
+    A = np.zeros((K * T1, m), np.float32)
+    B = np.zeros((K * T2, m), np.float32)
+    S = np.zeros((m, T1 * T2), np.float32)
+    for k in range(K):
+        for i in range(T1):
+            for j in range(T2):
+                c = (k * T1 + i) * T2 + j
+                A[k * T1 + i, c] = 1.0
+                B[k * T2 + j, c] = 1.0
+                S[c, i * T2 + j] = 1.0
+    return A, B, S
+
+
+@functools.lru_cache(maxsize=None)
+def _minv_consts(Te: int, T: int):
+    """Selection constants for _flat_apply_minv: monomial c=(e,f,t)."""
+    m = Te * Te * T
+    A = np.zeros((Te * Te, m), np.float32)
+    B = np.zeros((Te * T, m), np.float32)
+    S = np.zeros((m, Te * T), np.float32)
+    for e in range(Te):
+        for f in range(Te):
+            for t in range(T):
+                c = (e * Te + f) * T + t
+                A[e * Te + f, c] = 1.0
+                B[f * T + t, c] = 1.0
+                S[c, e * T + t] = 1.0
+    return A, B, S
+
+
+def _bilinear_mxu(X: jax.Array, Y: jax.Array, consts) -> jax.Array:
+    """((X@A) * (Y@B)) @ S with f32-exact MXU matmuls (the 0/1 constants
+    are exact in any precision; HIGHEST keeps the DATA from rounding
+    through bf16)."""
+    A, B, S = (jnp.asarray(c, X.dtype) for c in consts)
+    hi = jax.lax.Precision.HIGHEST
+    xa = jnp.dot(X, A, precision=hi)
+    yb = jnp.dot(Y, B, precision=hi)
+    return jnp.dot(xa * yb, S, precision=hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _transpose_perm(T: int):
+    Pm = np.zeros((T * T, T * T), np.float32)
+    for i in range(T):
+        for j in range(T):
+            Pm[i * T + j, j * T + i] = 1.0
+    return Pm
+
+
+def _transpose_flat(x: jax.Array, T: int) -> jax.Array:
+    """Per-row block transpose of FLAT (C, T*T) cell blocks. Permutation
+    matmul on accelerators (exact — 0/1 matrix), reshape on CPU."""
+    if _use_mxu_bilinear():
+        return jnp.dot(
+            x,
+            jnp.asarray(_transpose_perm(T), x.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    C = x.shape[0]
+    return jnp.swapaxes(x.reshape(C, T, T), 1, 2).reshape(C, T * T)
+
 
 def _flat_outer(A: jax.Array, Bm: jax.Array, K: int, T1: int, T2: int):
     """Flat batched outer-product contraction
     ``out[p, i*T2+j] = sum_k A[p, k*T1+i] * B[p, k*T2+j]``
-    built from 2-D repeat/tile broadcasts ONLY.
+    built from 2-D repeat/tile broadcasts (CPU) or MXU selection
+    matmuls (TPU, see _use_mxu_bilinear) ONLY.
 
     The einsum('pki,pkj->pij') + reshape form is mathematically
     identical, but XLA's fusion boundary can materialize the (P, T1, T2)
@@ -616,6 +779,8 @@ def _flat_outer(A: jax.Array, Bm: jax.Array, K: int, T1: int, T2: int):
     at BAL scale (the r4 562 ms/iter + OOM cliff). Every array here is
     rank-2 with a T1*T2-lane minor, which packs.
     """
+    if K * T1 * T2 <= _MXU_MONOMIAL_MAX and _use_mxu_bilinear():
+        return _bilinear_mxu(A, Bm, _outer_consts(K, T1, T2))
     out = None
     for k in range(K):
         a = jax.lax.slice_in_dim(A, k * T1, (k + 1) * T1, axis=1)
@@ -630,6 +795,13 @@ def _flat_pair_product(E: jax.Array, F: jax.Array) -> jax.Array:
     (B, r, T) without materializing a (B, Te, T) tail (see _flat_outer)."""
     B, r, Te = E.shape
     T = F.shape[2]
+    if r * Te * T <= _MXU_MONOMIAL_MAX and _use_mxu_bilinear():
+        # monomial c=(k,e,t) == _outer_consts(K=r, T1=Te, T2=T)
+        return _bilinear_mxu(
+            E.reshape(B, r * Te),
+            F.reshape(B, r * T),
+            _outer_consts(r, Te, T),
+        )
     if r > _FLAT_LOOP_MAX:
         return jnp.einsum("bre,brt->bet", E, F).reshape(B, Te * T)
     out = None
@@ -644,6 +816,8 @@ def _flat_pair_product(E: jax.Array, F: jax.Array) -> jax.Array:
 def _flat_apply_minv(minv_flat: jax.Array, w_flat: jax.Array, Te: int,
                      T: int) -> jax.Array:
     """Flat ``y[b, e*T+t] = sum_f minv[b, e*Te+f] * w[b, f*T+t]``."""
+    if Te * Te * T <= _MXU_MONOMIAL_MAX and _use_mxu_bilinear():
+        return _bilinear_mxu(minv_flat, w_flat, _minv_consts(Te, T))
     out = None
     for e in range(Te):
         acc = None
@@ -704,11 +878,13 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
         T1 = FA.shape[2]
         T2 = FB.shape[2]
         C = s.rows.shape[0]
-        # flat (B, T1*T2) product in NATURAL instance order, then ONE
-        # wide row gather into cell-sorted order (cheaper than
-        # gathering the two narrow Jacobian operands first: row gathers
-        # are issue-bound, so fewer+wider rows win).
-        X = _flat_pair_product(FA, FB)[s.perm]
+        # flat (B, T1*T2) product in NATURAL instance order; the
+        # cell-sorting row gather only happens when the plan kind
+        # requires sorted input (perm is None for the gather-free
+        # onehot/onehot_tiled/ell plans).
+        X = _flat_pair_product(FA, FB)
+        if s.perm is not None:
+            X = X[s.perm]
         blocks = apply_reduce(s.plan, X)[:C]
         if s.sym:
             # both (j1, j2) and (j2, j1) hit this diagonal cell; C here
@@ -746,6 +922,9 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
         if g.combo_n:
             # Uniform-window specialization: operands are SLICES of the
             # slot slab (no gather); one wide cell-sorting permutation.
+            # ONE orientation per combo — mirrored rows reduce into the
+            # second half of the cell table and are transposed per CELL
+            # below (PairGroup.mirror).
             T = g.T1
             d = Te * T
             n0 = g.combo_n
@@ -760,26 +939,30 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
 
             streams = []
             for k, (i, j) in enumerate(g.combo_list):
-                # sel -> W_i' Y_j at cell (p_i, p_j); ~sel -> W_j' Y_i at
-                # cell (p_j, p_i). Selecting between the two OUTERS beats
-                # selecting the operands (measured 142 vs 154 ms at BAL
-                # scale: XLA fuses the post-select, while pre-selected
-                # operands break the slice->outer fusion).
-                out_ij = _flat_outer(win(Wf, i), win(Yf, j), Te, T, T)
-                out_ji = _flat_outer(win(Wf, j), win(Yf, i), Te, T, T)
-                sel = g.combo_sel[k][:, None]
-                streams.append(jnp.where(sel, out_ij, out_ji))
+                streams.append(
+                    _flat_outer(win(Wf, i), win(Yf, j), Te, T, T)
+                )
             contrib = jnp.concatenate(streams, axis=0)[g.combo_perm]
         elif g.self_pairs:
-            # natural-order outer over the whole slot slab + one wide
-            # permutation gather (see PairGroup.self_pairs).
+            # natural-order outer over the whole slot slab; gather-free
+            # when the plan consumes slot order directly (g.natural),
+            # else one wide permutation gather (see PairGroup.self_pairs).
             nat = _flat_outer(W[g.T1], Y[g.T1], Te, g.T1, g.T1)
-            contrib = nat[g.a_idx]
+            contrib = nat if g.natural else nat[g.a_idx]
         else:
             Wa = W[g.T1][g.a_idx]  # (Pp, Te*T1) flat
             Yb = Y[g.T2][g.b_idx]
             contrib = _flat_outer(Wa, Yb, Te, g.T1, g.T2)
-        blocks_out.append(-apply_reduce(g.plan, contrib)[: g.num_cells])
+        if g.mirror:
+            red = apply_reduce(g.plan, contrib)[: 2 * g.num_cells]
+            direct = red[: g.num_cells]
+            blocks_out.append(
+                -(direct + _transpose_flat(red[g.num_cells :], g.T1))
+            )
+        else:
+            blocks_out.append(
+                -apply_reduce(g.plan, contrib)[: g.num_cells]
+            )
 
     return sites, blocks_out
 

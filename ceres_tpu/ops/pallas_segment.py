@@ -165,6 +165,119 @@ def segment_sum_sorted(
 
 
 # ---------------------------------------------------------------------------
+# UNSORTED full-table variant for MEDIUM group counts.
+#
+# The sorted kernels above require cell-sorted contributions — which the
+# explicit-Schur assembler pays for with a (B, d) row-permutation gather
+# (measured at BAL scale: the gather costs more than the reduction).
+# When the whole (G_pad, d) table fits VMEM (few thousand groups), the
+# sort is pointless: keep the table resident across the grid and reduce
+# each contribution tile with ONE full-height one-hot matmul, segment
+# ids in arbitrary order. No gather, no sortedness, one pass.
+# ---------------------------------------------------------------------------
+
+ONEHOT_TILED_MAX_GROUPS = 4096
+
+
+def build_tiled_plan(
+    seg: np.ndarray, num_groups: int, tile_b: int = TILE_B
+) -> Tuple[np.ndarray, int]:
+    """Host plan for the unsorted full-table kernel: (T, 1, tile_b)
+    GLOBAL int32 ids (dummy/pad = num_groups) + padded_B."""
+    seg = np.asarray(seg, dtype=np.int64).reshape(-1)
+    B = seg.shape[0]
+    Bp = int(-(-B // tile_b) * tile_b)
+    segp = np.concatenate(
+        [seg, np.full((Bp - B,), num_groups, dtype=np.int64)]
+    )
+    segp = np.where(
+        (segp < 0) | (segp > num_groups), num_groups, segp
+    )
+    return segp.astype(np.int32).reshape(-1, 1, tile_b), Bp
+
+
+def _kernel_onehot_full(seg_ref, contrib_ref, out_ref, *, gpad):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    seg_global = seg_ref[0, 0, :]  # (TILE_B,) int32 global ids
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (gpad, seg_global.shape[0]), 0
+    )
+    onehot = (rows == seg_global[None, :]).astype(contrib_ref.dtype)
+    out_ref[:] += jnp.dot(
+        onehot,
+        contrib_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "tile_b", "interpret")
+)
+def segment_sum_onehot_tiled(
+    contrib: jax.Array,
+    seg_tiles: jax.Array,
+    num_groups: int,
+    tile_b: int = TILE_B,
+    interpret: bool = False,
+) -> jax.Array:
+    """UNSORTED reduce: (B_padded, d) -> (G+1, d), table in VMEM."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp, d = contrib.shape
+    num_tiles = Bp // tile_b
+    g_pad = -(-(num_groups + 1) // 8) * 8
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel_onehot_full, gpad=g_pad),
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 1, tile_b), lambda i: (i, 0, 0)),
+                pl.BlockSpec((tile_b, d), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((g_pad, d), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((g_pad, d), contrib.dtype),
+            interpret=interpret,
+        )(seg_tiles, contrib)
+    return out[: num_groups + 1]
+
+
+def segment_sum_onehot(
+    contrib: jax.Array,
+    seg_tiles: jax.Array,
+    num_groups: int,
+    padded_b: int,
+    tile_b: int = TILE_B,
+    interpret: bool = False,
+) -> jax.Array:
+    """apply_reduce-compatible wrapper: (B, ...) -> (G+1, ...)."""
+    B = contrib.shape[0]
+    tail = contrib.shape[1:]
+    flat = contrib.reshape(B, -1)
+    if padded_b != B:
+        flat = jnp.concatenate(
+            [
+                flat,
+                jnp.zeros((padded_b - B, flat.shape[1]), flat.dtype),
+            ],
+            axis=0,
+        )
+    out = segment_sum_onehot_tiled(
+        flat, seg_tiles, num_groups, tile_b, interpret
+    )
+    return out.reshape((num_groups + 1,) + tail)
+
+
+# ---------------------------------------------------------------------------
 # Output-blocked variant for LARGE group counts.
 #
 # The kernel above keeps the whole (G_pad, d) output in VMEM across the

@@ -156,6 +156,26 @@ def build_reduce_plan(
                 padded_b=Bp,
             )
 
+    if (
+        allow_pallas
+        and jax.default_backend() == "tpu"
+        and B >= 4096
+        and G + 1 <= 4096
+    ):
+        # UNSORTED ids, table fits VMEM: full-height one-hot tiles
+        # (ops/pallas_segment.segment_sum_onehot) — callers skip the
+        # cell-sorting row gather entirely.
+        from ceres_tpu.ops.pallas_segment import TILE_B, build_tiled_plan
+
+        tiles, Bp = build_tiled_plan(seg, G)
+        return ReducePlan(
+            kind="onehot_tiled",
+            num_groups=G,
+            seg_tiles=jnp.asarray(tiles),
+            tile_b=TILE_B,
+            padded_b=Bp,
+        )
+
     counts = np.bincount(seg, minlength=G + 1)
     kmax = int(counts[:G].max()) if G > 0 else 0
     waste_ok = G == 0 or (
@@ -217,6 +237,16 @@ def apply_reduce(plan: ReducePlan, contrib: jax.Array) -> jax.Array:
             plan.maxp,
             plan.seg_block,
             plan.num_blocks,
+            plan.padded_b,
+            plan.tile_b,
+        )
+    if plan.kind == "onehot_tiled":
+        from ceres_tpu.ops.pallas_segment import segment_sum_onehot
+
+        return segment_sum_onehot(
+            contrib,
+            plan.seg_tiles,
+            G,
             plan.padded_b,
             plan.tile_b,
         )

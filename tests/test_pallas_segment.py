@@ -210,3 +210,60 @@ def test_blocked_apply_reduce_interpret(monkeypatch):
     out = np.asarray(red.apply_reduce(plan, jnp.asarray(contrib)))
     expect = _reference(seg, contrib, G)
     np.testing.assert_allclose(out[:G], expect[:G], atol=1e-4)
+
+
+# ---- unsorted full-table one-hot kernel (kind="onehot_tiled") ------------
+
+
+@pytest.mark.parametrize("B,G,d", [(8192, 500, 81), (5000, 4000, 9)])
+def test_onehot_tiled_matches_numpy(B, G, d):
+    from ceres_tpu.ops.pallas_segment import (
+        build_tiled_plan,
+        segment_sum_onehot,
+    )
+
+    rng = np.random.default_rng(B + G + d)
+    seg = rng.integers(0, G, B)  # deliberately UNSORTED
+    contrib = rng.standard_normal((B, d)).astype(np.float32)
+    tiles, Bp = build_tiled_plan(seg, G, tile_b=512)
+    out = np.asarray(
+        segment_sum_onehot(
+            jnp.asarray(contrib),
+            jnp.asarray(tiles),
+            G,
+            Bp,
+            tile_b=512,
+            interpret=True,
+        )
+    )
+    expect = _reference(seg, contrib, G)
+    np.testing.assert_allclose(out[:G], expect[:G], rtol=2e-6, atol=1e-4)
+
+
+def test_onehot_tiled_selected_for_unsorted_medium_g(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    B, G = 40000, 2000
+    seg = np.random.default_rng(3).integers(0, G, B)  # unsorted
+    plan = red.build_reduce_plan(seg, G)
+    assert plan.kind == "onehot_tiled"
+
+
+def test_onehot_tiled_apply_reduce_interpret(monkeypatch):
+    from ceres_tpu.ops import pallas_segment as ps
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(17)
+    B, G = 20000, 900
+    seg = rng.integers(0, G, B)
+    plan = red.build_reduce_plan(seg, G)
+    assert plan.kind == "onehot_tiled"
+    orig = ps.segment_sum_onehot
+    monkeypatch.setattr(
+        ps,
+        "segment_sum_onehot",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    contrib = rng.standard_normal((B, 5)).astype(np.float32)
+    out = np.asarray(red.apply_reduce(plan, jnp.asarray(contrib)))
+    expect = _reference(seg, contrib, G)
+    np.testing.assert_allclose(out[:G], expect[:G], rtol=2e-6, atol=1e-4)
