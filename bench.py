@@ -155,6 +155,12 @@ def run_ceres_tpu(prob):
     fused_solve(warm_opts, problem)
     compile_s = time.time() - t0
 
+    # Fixed per-solve overhead (see run_large): tunnel transfers +
+    # dispatch, measured by a 0-iteration solve after compile.
+    t0 = time.time()
+    fused_solve(warm_opts, problem)
+    overhead_s = time.time() - t0
+
     t0 = time.time()
     summary = fused_solve(opts, problem)
     solve_s = time.time() - t0
@@ -192,6 +198,10 @@ def run_ceres_tpu(prob):
         "roofline": rl,
         "solve_s": solve_s,
         "s_per_iter": solve_s / max(iters, 1),
+        "overhead_s": round(overhead_s, 3),
+        "s_per_iter_marginal": round(
+            max(solve_s - overhead_s, 0.0) / max(iters, 1), 5
+        ),
         "setup_s": setup_s,
         "compile_s": compile_s,
         "host_loop_s": host_loop_s,
@@ -270,7 +280,7 @@ def run_scipy_baseline(prob, timeout_s=3600.0):
     }
 
 
-def measure_large_stages(problem, opts, k=3):
+def measure_large_stages(problem, opts, k=8):
     """LIVE per-stage device timing of the large-problem iteration
     (VERDICT r4 #3: the itemization must be measured each run, not
     pasted). Amortized protocol of benchmarks/stage_profile2.py: each
@@ -319,7 +329,7 @@ def measure_large_stages(problem, opts, k=3):
 
     def timed(fn, *args):
         @jax.jit
-        def run(eps, *a):
+        def run(eps, reps, *a):
             def body(i, acc):
                 # stage_profile2 protocol: perturb the float args by
                 # eps*carry so each rep depends on the previous one
@@ -346,13 +356,28 @@ def measure_large_stages(problem, opts, k=3):
                 )
                 return acc + eps * s
 
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+            # reps is a DEVICE scalar: one executable serves any count.
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
         eps = jnp.float32(0.0)
-        jax.block_until_ready(run(eps, *args))  # compile + warm
-        t0 = time.time()
-        jax.block_until_ready(run(eps, *args))
-        return (time.time() - t0) / k * 1e3
+
+        def t_of(reps):
+            t0 = time.time()
+            jax.block_until_ready(run(eps, jnp.int32(reps), *args))
+            return time.time() - t0
+
+        t_of(1)  # compile + warm
+        # Two-point measurement: (t(1+K) - t(1)) / K cancels the
+        # dispatch/tunnel launch latency (~20 ms through the remote-TPU
+        # tunnel), which at k=3 polluted every r4 figure by ~7 ms.
+        t1 = t_of(1)
+        K = k
+        t2 = t_of(1 + K)
+        # Adapt K so the loop body dominates the reading.
+        while t2 - t1 < 0.05 and K < 512:
+            K *= 4
+            t2 = t_of(1 + K)
+        return max(t2 - t1, 1e-9) / K * 1e3
 
     out = {}
     try:
@@ -510,6 +535,15 @@ def run_large(seed=7):
     fused_solve(warm, problem)
     compile_s = time.time() - t0
 
+    # Fixed per-solve overhead, measured by a 0-iteration solve after
+    # compile: x0 upload + solution download + dispatch round-trips
+    # through the remote-TPU tunnel (~0.7 s here; negligible on local
+    # hardware). s_per_iter_marginal = (solve - overhead) / iters is
+    # the true device iteration time the stage itemization explains.
+    t0 = time.time()
+    fused_solve(warm, problem)
+    overhead_s = time.time() - t0
+
     t0 = time.time()
     summary = fused_solve(opts, problem)
     solve_s = time.time() - t0
@@ -532,6 +566,10 @@ def run_large(seed=7):
         ),
         "solve_s": round(solve_s, 3),
         "s_per_iter": round(solve_s / max(iters, 1), 4),
+        "overhead_s": round(overhead_s, 3),
+        "s_per_iter_marginal": round(
+            max(solve_s - overhead_s, 0.0) / max(iters, 1), 4
+        ),
         "compile_s": round(compile_s, 1),
         "iterations": iters,
         "initial_cost": summary.initial_cost,

@@ -131,44 +131,41 @@ WY = jax.jit(build_wy)(D0)
 jax.block_until_ready(WY)
 W0, Y0 = WY
 
-g = [g_ for g_ in plan.corr if g_.combo_n][0] if any(g_.combo_n for g_ in plan.corr) else None
+offdiag = [
+    g_ for g_ in plan.corr if not g_.diagonal and g_.a_idx.shape[0]
+]
+g = offdiag[0] if offdiag else None
 if g is not None:
     T = g.T1
-    d = Te * T
-    n0 = g.combo_n
+    print(f"offdiag group: pairs={g.a_idx.shape[0]} C={g.num_cells} "
+          f"kind={g.plan.kind}")
 
-    def combo_streams(Wt, Yt):
-        Pn = Wt.shape[0] - 1
-        Wf = Wt[:Pn].reshape(Pn // n0, n0 * d)
-        Yf = Yt[:Pn].reshape(Pn // n0, n0 * d)
+    timed("pair operand gathers (W+Y)",
+          lambda Wt, Yt: (Wt[g.a_idx], Yt[g.b_idx]), W0[T], Y0[T])
 
-        def win(Mf, t):
-            return jax.lax.slice_in_dim(Mf, t * d, (t + 1) * d, axis=1)
+    WaYb = jax.jit(lambda Wt, Yt: (Wt[g.a_idx], Yt[g.b_idx]))(W0[T], Y0[T])
+    jax.block_until_ready(WaYb)
+    Wa0, Yb0 = WaYb
 
-        streams = []
-        for k2, (i, j) in enumerate(g.combo_list):
-            streams.append(_flat_outer(win(Wf, i), win(Yf, j), Te, T, T))
-        return jnp.concatenate(streams, axis=0)
+    if g.plan.kind == "sorted_blocked":
+        from ceres_tpu.ops.pallas_segment import outer_segment_sum_blocked
 
-    timed("combo streams (no gather)", combo_streams, W0[T], Y0[T])
+        timed("fused outer+reduce kernel",
+              lambda Wa, Yb: outer_segment_sum_blocked(
+                  Wa, Yb, g.plan, Te, g.T1, g.T2
+              )[: g.num_cells],
+              Wa0, Yb0)
+        timed("gathers + fused kernel (whole stage)",
+              lambda Wt, Yt: outer_segment_sum_blocked(
+                  Wt[g.a_idx], Yt[g.b_idx], g.plan, Te, g.T1, g.T2
+              )[: g.num_cells],
+              W0[T], Y0[T])
 
-    contrib0 = jax.jit(combo_streams)(W0[T], Y0[T])
-    jax.block_until_ready(contrib0)
-    print("contrib shape:", contrib0.shape)
-
-    timed("perm gather only", lambda c: c[g.combo_perm], contrib0)
-
-    sorted0 = jax.jit(lambda c: c[g.combo_perm])(contrib0)
-    jax.block_until_ready(sorted0)
-
-    timed("segment reduce only",
-          lambda c: apply_reduce(g.plan, c)[: g.num_cells], sorted0)
-
-    timed("streams+gather+reduce",
-          lambda Wt, Yt: apply_reduce(
-              g.plan, combo_streams(Wt, Yt)[g.combo_perm]
+    timed("XLA outer + reduce (fallback path)",
+          lambda Wa, Yb: apply_reduce(
+              g.plan, _flat_outer(Wa, Yb, Te, g.T1, g.T2)
           )[: g.num_cells],
-          W0[T], Y0[T])
+          Wa0, Yb0)
 
 # --- F'F sites ------------------------------------------------------------
 def ftf_all(D):

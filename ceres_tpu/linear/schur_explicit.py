@@ -112,25 +112,6 @@ class PairGroup:
     # cycles/row regardless of width), so halving the row count halves
     # the gather time.
     self_pairs: bool = False
-    # Uniform-window fast path (the analog of the reference's generated
-    # fixed-structure eliminator specializations,
-    # generate_template_specializations.py): when every point has
-    # exactly n consecutive slots (single slot space, no masking), the
-    # off-diagonal pairs are (p*n+i, p*n+j) — per unordered combo (i<j)
-    # the operands are SLICES of the slot slab, no gather at all. ONE
-    # orientation (W_i' Y_j) is computed per combo; rows whose cell is
-    # oriented the other way reduce into a SECOND copy of the cell table
-    # (ids offset by num_cells) and are transposed per CELL afterwards —
-    # valid because M^-1 is symmetric, so W_j' Y_i = (W_i' Y_j)', and
-    # 27x cheaper than selecting between two per-ROW orientations
-    # (measured: the double-orientation streams were the single largest
-    # assembly stage). ``combo_perm`` sorts the k-major streams by
-    # (oriented) cell id in ONE wide (K2*P, T*T) row gather.
-    combo_n: int = 0
-    combo_list: Tuple[Tuple[int, int], ...] = ()
-    combo_sel: Optional[jax.Array] = None  # unused (kept for pytree shape)
-    combo_perm: Optional[jax.Array] = None  # (K2*P,) int32
-    mirror: bool = False  # reduce plan has 2*num_cells groups
     # Self-pair fast path only: the plan consumes the NATURAL slot-order
     # outer products directly (gather-free; see FtFSite.perm).
     natural: bool = False
@@ -139,12 +120,11 @@ class PairGroup:
 jax.tree_util.register_dataclass(
     PairGroup,
     data_fields=[
-        "a_idx", "b_idx", "plan", "rows", "cols", "inv", "combo_sel",
-        "combo_perm",
+        "a_idx", "b_idx", "plan", "rows", "cols", "inv",
     ],
     meta_fields=[
         "T1", "T2", "diagonal", "num_cells", "offs", "self_pairs",
-        "combo_n", "combo_list", "mirror", "natural",
+        "natural",
     ],
 )
 
@@ -476,102 +456,105 @@ def build_explicit_plan(program, ss) -> ExplicitSchurPlan:
     corr: List[PairGroup] = []
 
     if skip_offdiag:
-        # Build the combo-stream group: K2 = n(n-1)/2 unordered slot
-        # combos, stream index = k*P + p, one cell-sorting permutation.
+        # Uniform windows: the off-diagonal pair lists are built with
+        # VECTORIZED numpy (the python per-pair loop costs tens of
+        # seconds at BAL scale). Orientation is free here — the pair is
+        # emitted as (a, b) with the row camera's start above the
+        # column camera's, so the device computes W_a' Y_b directly at
+        # the strict-lower cell; no per-row select, no post-transpose.
         T = uniform_T
         n0 = uniform_n
-        combos = [
-            (i, j) for i in range(n0) for j in range(i + 1, n0)
-        ]
-        K2 = len(combos)
-        # One orientation per combo: the stream always computes
-        # W_i' Y_j. Direct rows (row-camera start > col-camera start at
-        # (p_i, p_j)) reduce into cell c; mirrored rows reduce into
-        # c + C and the assembler transposes those cells once (valid
-        # since M^-1 is symmetric: W_j' Y_i = (W_i' Y_j)').
-        uniq: Dict[Tuple[int, int], int] = {}
-        ids_stream = np.empty(K2 * P, dtype=np.int64)
-        mirrored = np.zeros(K2 * P, dtype=bool)
-        degenerate = 0
-        for k, (i, j) in enumerate(combos):
-            for p in range(P):
-                Ti, si, pi_, ssi = point_obs[p][i]
-                Tj, sj, pj_, ssj = point_obs[p][j]
-                if pi_ == pj_:
-                    # same f block twice in one point window: belongs
-                    # to the DIAGONAL cell; route both orientations
-                    # through the generic diag group instead (rare).
-                    degenerate += 1
-                    ids_stream[k * P + p] = -1
-                    continue
-                if ssi > ssj:
-                    cell = (pi_, pj_)
-                else:
-                    cell = (pj_, pi_)
-                    mirrored[k * P + p] = True
-                if cell not in uniq:
-                    uniq[cell] = len(uniq)
-                ids_stream[k * P + p] = uniq[cell]
-        if degenerate == 0:
-            C = len(uniq)
-            ids_stream[mirrored] += C
-            rows = np.empty((C, T), dtype=np.int32)
-            cols = np.empty((C, T), dtype=np.int32)
-            for (p1, p2), c in uniq.items():
-                rows[c] = reduced_coords(T, p1)
-                cols[c] = reduced_coords(T, p2)
+        N = n0 * P
+        slot_pos = np.empty(N, dtype=np.int64)
+        slot_start = np.empty(N, dtype=np.int64)
+        for p, obs in enumerate(point_obs):
+            for (_Tt, st, pos, sst) in obs:
+                slot_pos[st] = pos
+                slot_start[st] = sst
+        p_idx = np.arange(P, dtype=np.int64)
+        sa_parts: List[np.ndarray] = []
+        sb_parts: List[np.ndarray] = []
+        pa_parts: List[np.ndarray] = []
+        pb_parts: List[np.ndarray] = []
+        degenerate = False
+        for i in range(n0):
+            for j in range(i + 1, n0):
+                s_i = p_idx * n0 + i
+                s_j = p_idx * n0 + j
+                pi_ = slot_pos[s_i]
+                pj_ = slot_pos[s_j]
+                if np.any(pi_ == pj_):
+                    # same f block twice in one window: belongs to the
+                    # DIAGONAL cell; rare — fall back to the generic
+                    # python enumeration for all off-diagonal pairs.
+                    degenerate = True
+                    break
+                direct = slot_start[s_i] > slot_start[s_j]
+                sa_parts.append(np.where(direct, s_i, s_j))
+                sb_parts.append(np.where(direct, s_j, s_i))
+                pa_parts.append(np.where(direct, pi_, pj_))
+                pb_parts.append(np.where(direct, pj_, pi_))
+            if degenerate:
+                break
+        if not degenerate and sa_parts:
+            sa = np.concatenate(sa_parts)
+            sb = np.concatenate(sb_parts)
+            pa = np.concatenate(pa_parts)
+            pb = np.concatenate(pb_parts)
+            G = f_groups[T].shape[0]
+            packed = pa * G + pb
+            uniq_keys, ids = np.unique(packed, return_inverse=True)
+            C = uniq_keys.shape[0]
+            pa_u = (uniq_keys // G).astype(np.int64)
+            pb_u = (uniq_keys % G).astype(np.int64)
+            rows = f_reduced[f_groups[T][pa_u]].astype(np.int32)
+            cols = f_reduced[f_groups[T][pb_u]].astype(np.int32)
             inv = offs = None
             if grid_allowed:
                 oa = ordinal_of_pos[T]
-                ord_uniq = {
-                    (int(oa[pa]), int(ob_)): c
-                    for (pa, pb), c in uniq.items()
-                    for ob_ in [int(oa[pb])]
-                }
-                if all(a >= 0 and b >= 0 for a, b in ord_uniq):
-                    inv = _grid_inverse(
-                        ord_uniq, num_active[T], num_active[T], T, T
-                    )
-                    if inv is not None:
+                oau = oa[pa_u]
+                obu = oa[pb_u]
+                if np.all(oau >= 0) and np.all(obu >= 0):
+                    nA = num_active[T]
+                    if nA * nA * T * T <= GRID_MAX_ELEMS:
+                        inv_np = np.full((nA, nA), C, dtype=np.int32)
+                        inv_np[oau, obu] = np.arange(C, dtype=np.int32)
+                        inv = jnp.asarray(inv_np)
                         offs = (size_row_off[T], size_row_off[T])
-            order = np.argsort(ids_stream, kind="stable")
+            order = np.argsort(ids, kind="stable")
             corr.append(
                 PairGroup(
                     T1=T,
                     T2=T,
                     diagonal=False,
                     num_cells=C,
-                    a_idx=jnp.zeros((0,), jnp.int32),
-                    b_idx=jnp.zeros((0,), jnp.int32),
-                    plan=build_reduce_plan(ids_stream[order], 2 * C),
+                    a_idx=jnp.asarray(sa[order].astype(np.int32)),
+                    b_idx=jnp.asarray(sb[order].astype(np.int32)),
+                    plan=build_reduce_plan(ids[order], C),
                     rows=jnp.asarray(rows),
                     cols=jnp.asarray(cols),
                     inv=inv,
                     offs=offs,
-                    combo_n=n0,
-                    combo_list=tuple(combos),
-                    combo_perm=jnp.asarray(order.astype(np.int32)),
-                    mirror=True,
                 )
             )
-        else:
+        elif degenerate:
             # degenerate windows: redo the generic enumeration for the
             # off-diagonal pairs after all.
             for p in range(P):
                 obs = point_obs[p]
                 n = len(obs)
                 for ai in range(n):
-                    Ta, sa, pa, ssa = obs[ai]
+                    Ta, sa_, pa_, ssa = obs[ai]
                     for bi in range(n):
-                        Tb, sb, pb, ssb = obs[bi]
-                        if (Ta == Tb and pa == pb) or ssa <= ssb:
+                        Tb, sb_, pb_, ssb = obs[bi]
+                        if (Ta == Tb and pa_ == pb_) or ssa <= ssb:
                             continue
                         acc = group_pairs.setdefault(
                             (Ta, Tb, False), ([], [], [])
                         )
-                        acc[0].append(sa)
-                        acc[1].append(sb)
-                        acc[2].append((pa, pb))
+                        acc[0].append(sa_)
+                        acc[1].append(sb_)
+                        acc[2].append((pa_, pb_))
     for (T1, T2, diag), (sa_l, sb_l, keys) in group_pairs.items():
         ids, C, rows, cols, inv, offs = cell_maps(keys, T1, T2)
         sa = np.asarray(sa_l, dtype=np.int64)
@@ -745,28 +728,6 @@ def _bilinear_mxu(X: jax.Array, Y: jax.Array, consts) -> jax.Array:
     return jnp.dot(xa * yb, S, precision=hi)
 
 
-@functools.lru_cache(maxsize=None)
-def _transpose_perm(T: int):
-    Pm = np.zeros((T * T, T * T), np.float32)
-    for i in range(T):
-        for j in range(T):
-            Pm[i * T + j, j * T + i] = 1.0
-    return Pm
-
-
-def _transpose_flat(x: jax.Array, T: int) -> jax.Array:
-    """Per-row block transpose of FLAT (C, T*T) cell blocks. Permutation
-    matmul on accelerators (exact — 0/1 matrix), reshape on CPU."""
-    if _use_mxu_bilinear():
-        return jnp.dot(
-            x,
-            jnp.asarray(_transpose_perm(T), x.dtype),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    C = x.shape[0]
-    return jnp.swapaxes(x.reshape(C, T, T), 1, 2).reshape(C, T * T)
-
-
 def _flat_outer(A: jax.Array, Bm: jax.Array, K: int, T1: int, T2: int):
     """Flat batched outer-product contraction
     ``out[p, i*T2+j] = sum_k A[p, k*T1+i] * B[p, k*T2+j]``
@@ -919,47 +880,34 @@ def compute_cell_blocks(op, plan: ExplicitSchurPlan):
         Y[T] = jnp.concatenate(ys + [pad], axis=0)
 
     for g in plan.corr:
-        if g.combo_n:
-            # Uniform-window specialization: operands are SLICES of the
-            # slot slab (no gather); one wide cell-sorting permutation.
-            # ONE orientation per combo — mirrored rows reduce into the
-            # second half of the cell table and are transposed per CELL
-            # below (PairGroup.mirror).
-            T = g.T1
-            d = Te * T
-            n0 = g.combo_n
-            P = W[T].shape[0] - 1  # minus pad row
-            Wf = W[T][:P].reshape(P // n0, n0 * d)
-            Yf = Y[T][:P].reshape(P // n0, n0 * d)
-
-            def win(Mf, t):
-                return jax.lax.slice_in_dim(
-                    Mf, t * d, (t + 1) * d, axis=1
-                )
-
-            streams = []
-            for k, (i, j) in enumerate(g.combo_list):
-                streams.append(
-                    _flat_outer(win(Wf, i), win(Yf, j), Te, T, T)
-                )
-            contrib = jnp.concatenate(streams, axis=0)[g.combo_perm]
-        elif g.self_pairs:
+        if g.self_pairs:
             # natural-order outer over the whole slot slab; gather-free
             # when the plan consumes slot order directly (g.natural),
             # else one wide permutation gather (see PairGroup.self_pairs).
             nat = _flat_outer(W[g.T1], Y[g.T1], Te, g.T1, g.T1)
             contrib = nat if g.natural else nat[g.a_idx]
-        else:
-            Wa = W[g.T1][g.a_idx]  # (Pp, Te*T1) flat
-            Yb = Y[g.T2][g.b_idx]
-            contrib = _flat_outer(Wa, Yb, Te, g.T1, g.T2)
-        if g.mirror:
-            red = apply_reduce(g.plan, contrib)[: 2 * g.num_cells]
-            direct = red[: g.num_cells]
             blocks_out.append(
-                -(direct + _transpose_flat(red[g.num_cells :], g.T1))
+                -apply_reduce(g.plan, contrib)[: g.num_cells]
             )
+            continue
+        Wa = W[g.T1][g.a_idx]  # (Pp, Te*T1) flat — narrow operand rows
+        Yb = Y[g.T2][g.b_idx]
+        if g.plan.kind == "sorted_blocked" and _use_mxu_bilinear():
+            # Fused pair-contraction kernel: outer products form in
+            # VMEM inside the windowed reduce — the (Pp, T1*T2)
+            # contribution array never exists in HBM
+            # (schur_eliminator_impl.h:228-330 analog; the r4 verdict's
+            # named fix).
+            from ceres_tpu.ops.pallas_segment import (
+                outer_segment_sum_blocked,
+            )
+
+            red = outer_segment_sum_blocked(
+                Wa, Yb, g.plan, Te, g.T1, g.T2
+            )
+            blocks_out.append(-red[: g.num_cells])
         else:
+            contrib = _flat_outer(Wa, Yb, Te, g.T1, g.T2)
             blocks_out.append(
                 -apply_reduce(g.plan, contrib)[: g.num_cells]
             )

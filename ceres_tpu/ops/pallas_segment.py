@@ -443,6 +443,183 @@ def sorted_segment_sum_blocked(
     return total[: num_groups + 1]
 
 
+# ---------------------------------------------------------------------------
+# Fused pair-outer + blocked reduce.
+#
+# The explicit-Schur correction term reduces 15x-per-point outer-product
+# blocks W_a' Y_b into camera-pair cells. Materializing the (pairs, T1*T2)
+# contributions in HBM costs a write + a cell-sorting gather + a re-read
+# (~2/3 of the whole stage). This kernel takes the PRE-GATHERED (pairs,
+# Te*T) operand rows instead and forms the outer products IN VMEM with
+# the same 0/1-selection MXU matmuls as schur_explicit._bilinear_mxu,
+# feeding the windowed accumulation directly — the contributions never
+# touch HBM. This is the fused pair-contraction kernel of the
+# schur_eliminator_impl.h:228-330 chunk loop, shaped for the TPU.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_blocked_outer(
+    src_ref, bof_ref, lstart_ref, seg_ref, wg_ref, yg_ref,
+    a_ref, b_ref, s_ref, out_ref, *, maxp
+):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    first_visit = (i == 0) | (
+        bof_ref[i] != bof_ref[jnp.maximum(i - 1, 0)]
+    )
+
+    @pl.when(first_visit)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    hi = jax.lax.Precision.HIGHEST
+    xa = jnp.dot(wg_ref[:], a_ref[:], precision=hi)
+    yb = jnp.dot(yg_ref[:], b_ref[:], precision=hi)
+    contrib = jnp.dot(xa * yb, s_ref[:], precision=hi)
+
+    ls = lstart_ref[i]
+    seg_local = seg_ref[0, 0, :]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (maxp, seg_local.shape[0]), 0
+    )
+    onehot = (rows == seg_local[None, :]).astype(contrib.dtype)
+    partial = jnp.dot(
+        onehot,
+        contrib,
+        preferred_element_type=jnp.float32,
+        precision=hi,
+    ).astype(out_ref.dtype)
+    window = out_ref[0, pl.ds(ls, maxp), :]
+    out_ref[0, pl.ds(ls, maxp), :] = window + partial
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_groups", "maxp", "seg_block", "num_blocks", "tile_b",
+        "d_out", "consts_key", "interpret",
+    ),
+)
+def _outer_segment_sum_blocked_impl(
+    wg: jax.Array,
+    yg: jax.Array,
+    seg_tiles: jax.Array,
+    tile_src: jax.Array,
+    block_of_tile: jax.Array,
+    local_starts: jax.Array,
+    num_groups: int,
+    maxp: int,
+    seg_block: int,
+    num_blocks: int,
+    tile_b: int,
+    d_out: int,
+    consts_key,
+    interpret: bool = False,
+) -> jax.Array:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ceres_tpu.linear.schur_explicit import _outer_consts
+
+    a_const, b_const, s_const = _outer_consts(*consts_key)
+    a_const = jnp.asarray(a_const, wg.dtype)
+    b_const = jnp.asarray(b_const, wg.dtype)
+    s_const = jnp.asarray(s_const, wg.dtype)
+    m = a_const.shape[1]
+    dw = wg.shape[1]
+    dy = yg.shape[1]
+    num_tiles = seg_tiles.shape[0]
+    S = seg_block
+    W = S + maxp
+
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, tile_b), lambda i, src, bof, ls: (i, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (tile_b, dw), lambda i, src, bof, ls: (src[i], 0)
+                ),
+                pl.BlockSpec(
+                    (tile_b, dy), lambda i, src, bof, ls: (src[i], 0)
+                ),
+                pl.BlockSpec(
+                    (dw, m), lambda i, src, bof, ls: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (dy, m), lambda i, src, bof, ls: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (m, d_out), lambda i, src, bof, ls: (0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, W, d_out), lambda i, src, bof, ls: (bof[i], 0, 0)
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_blocked_outer, maxp=maxp),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (num_blocks, W, d_out), wg.dtype
+            ),
+            interpret=interpret,
+        )(
+            tile_src, block_of_tile, local_starts, seg_tiles, wg, yg,
+            a_const, b_const, s_const,
+        )
+
+    main = out[:, :S, :].reshape(num_blocks * S, d_out)
+    halo = out[:, S:, :]
+    halo = jnp.pad(halo, ((0, 0), (0, S - maxp), (0, 0))).reshape(
+        num_blocks * S, d_out
+    )
+    total = jnp.pad(main, ((0, S), (0, 0))) + jnp.pad(
+        halo, ((S, 0), (0, 0))
+    )
+    return total[: num_groups + 1]
+
+
+def outer_segment_sum_blocked(
+    wg: jax.Array,
+    yg: jax.Array,
+    plan,
+    K: int,
+    T1: int,
+    T2: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ``sum_seg W_row' Y_row`` for a sorted_blocked ReducePlan:
+    (B, K*T1) x (B, K*T2) pre-gathered operand rows -> (G+1, T1*T2)
+    flat cell blocks. Rows must already be padded to plan.padded_b."""
+    B = wg.shape[0]
+    if B != plan.padded_b:
+        pad_w = jnp.zeros((plan.padded_b - B, wg.shape[1]), wg.dtype)
+        pad_y = jnp.zeros((plan.padded_b - B, yg.shape[1]), yg.dtype)
+        wg = jnp.concatenate([wg, pad_w], axis=0)
+        yg = jnp.concatenate([yg, pad_y], axis=0)
+    return _outer_segment_sum_blocked_impl(
+        wg,
+        yg,
+        plan.seg_tiles,
+        plan.tile_src,
+        plan.block_of_tile,
+        plan.local_starts,
+        plan.num_groups,
+        plan.maxp,
+        plan.seg_block,
+        plan.num_blocks,
+        plan.tile_b,
+        T1 * T2,
+        (K, T1, T2),
+        interpret,
+    )
+
+
 def segment_sum_sorted_blocked(
     contrib: jax.Array,
     seg_tiles: jax.Array,

@@ -546,9 +546,17 @@ def _tr_iteration_impl(
     """
     from ceres_tpu.evaluator import _full_impl
 
-    ctx_used = ctx.scale_columns(scaling) if use_scaling else ctx
+    if use_scaling:
+        # One column-norm pass (see fused_lm._body): scaled norms are
+        # scaling^2 * unscaled norms.
+        norms0 = ctx.squared_column_norms()
+        ctx_used = ctx.scale_columns(scaling)
+        scaled_norms = scaling * scaling * norms0
+    else:
+        ctx_used = ctx
+        scaled_norms = ctx.squared_column_norms()
     diag = jnp.clip(
-        ctx_used.squared_column_norms(),
+        scaled_norms,
         config.min_lm_diagonal,
         config.max_lm_diagonal,
     )

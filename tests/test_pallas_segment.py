@@ -267,3 +267,38 @@ def test_onehot_tiled_apply_reduce_interpret(monkeypatch):
     out = np.asarray(red.apply_reduce(plan, jnp.asarray(contrib)))
     expect = _reference(seg, contrib, G)
     np.testing.assert_allclose(out[:G], expect[:G], rtol=2e-6, atol=1e-4)
+
+
+# ---- fused pair-outer + blocked reduce -----------------------------------
+
+
+def test_outer_segment_sum_blocked_interpret(monkeypatch):
+    """The fused W_a' Y_b + windowed-reduce kernel equals the reference
+    per-pair outer products reduced with numpy."""
+    from ceres_tpu.ops import pallas_segment as ps
+    from ceres_tpu.ops import reduce as red2
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(23)
+    K, T1, T2 = 3, 9, 9
+    B, G = 30000, 12000
+    seg = np.sort(rng.integers(0, G, B))
+    plan = red2.build_reduce_plan(seg, G)
+    assert plan.kind == "sorted_blocked"
+    wg = rng.standard_normal((B, K * T1)).astype(np.float32)
+    yg = rng.standard_normal((B, K * T2)).astype(np.float32)
+    out = np.asarray(
+        ps.outer_segment_sum_blocked(
+            jnp.asarray(wg), jnp.asarray(yg), plan, K, T1, T2,
+            interpret=True,
+        )
+    )
+    # reference: per-row flat outer then segment sum in f64
+    contrib = np.einsum(
+        "bki,bkj->bij",
+        wg.reshape(B, K, T1).astype(np.float64),
+        yg.reshape(B, K, T2).astype(np.float64),
+    ).reshape(B, T1 * T2)
+    expect = np.zeros((G + 1, T1 * T2))
+    np.add.at(expect, seg, contrib)
+    np.testing.assert_allclose(out[:G], expect[:G], rtol=2e-5, atol=2e-4)

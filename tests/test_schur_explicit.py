@@ -202,14 +202,10 @@ def test_explicit_scales_to_1024_cameras():
 
 
 def test_nonuniform_windows_use_generic_pairs():
-    """Points with unequal observation counts defeat the uniform-window
-    combo specialization; the generic flat-pair path must produce the
-    same S (checked against the probe)."""
+    """Points with unequal observation counts take the python generic
+    pair enumeration; S must match the probe."""
     # 1700 obs over 400 points: 100 points get 5 obs, 300 get 4.
     op, ss, _ = _setup(num_cameras=8, num_points=400, num_obs=1700, seed=3)
-    assert all(g.combo_n == 0 for g in ss.explicit.corr), (
-        "expected the generic pair path for non-uniform windows"
-    )
     S_e, rhs_e, _ = op.dense_reduced_system()
     S_p, rhs_p, _ = op.dense_reduced_system_probe()
     scale = float(jnp.max(jnp.abs(S_p)))
@@ -218,13 +214,20 @@ def test_nonuniform_windows_use_generic_pairs():
     )
 
 
-def test_uniform_windows_use_combo_path():
-    """The evenly-divisible synthetic instance activates the
-    uniform-window specialization and matches the probe."""
+def test_uniform_windows_vectorized_pairs_match_probe():
+    """The evenly-divisible synthetic instance takes the VECTORIZED
+    uniform-window pair enumeration (host-side numpy instead of the
+    per-pair python loop); the oriented pair lists must reproduce the
+    probe's S exactly. Both paths now feed the same generic
+    a_idx/b_idx assembler."""
     op, ss, _ = _setup(num_cameras=8, num_points=300, num_obs=1500, seed=7)
-    assert any(g.combo_n >= 2 for g in ss.explicit.corr), (
-        "expected the uniform-window combo path"
-    )
+    offdiag = [
+        g for g in ss.explicit.corr
+        if not g.diagonal and g.a_idx.shape[0]
+    ]
+    assert offdiag, "expected an off-diagonal pair group"
+    # every point has 5 obs -> 10 unordered pairs per point
+    assert offdiag[0].a_idx.shape[0] == 10 * 300
     S_e, _, _ = op.dense_reduced_system()
     S_p, _, _ = op.dense_reduced_system_probe()
     scale = float(jnp.max(jnp.abs(S_p)))
